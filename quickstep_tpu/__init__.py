@@ -1,0 +1,16 @@
+"""quickstep-tpu: a TPU-native vectorized SQL query-execution engine.
+
+A from-scratch JAX/XLA/Pallas design with the capabilities of UWQuickstep/quickstep
+(reference layer map in SURVEY.md §1): SQL text -> parser -> resolver -> optimizer ->
+columnar operator DAG -> whole-query XLA compilation over a device mesh.
+"""
+
+import jax
+
+# The SQL type system needs 64-bit integers (LONG, fixed-point DECIMAL accumulation) and
+# float64 (DOUBLE). TPU emulates both; hot paths use 32-bit dtypes where types allow.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from quickstep_tpu.database import Database  # noqa: E402,F401

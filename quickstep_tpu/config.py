@@ -1,0 +1,46 @@
+"""Engine configuration flags.
+
+One typed config object mirroring the reference's ~40 gflags spread across modules
+(cli/Flags.cpp, query_optimizer/PhysicalGenerator.cpp:139-179, storage/Flags.cpp,
+query_execution scheduler knobs) plus this engine's TPU-specific knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # --- CLI (reference cli/Flags.cpp) ---
+    storage_path: str = "qstpu_storage"
+    initialize_db: bool = False
+    printing_enabled: bool = True
+    display_timing: bool = True
+    # --- optimizer rule toggles (reference PhysicalGenerator.cpp:139-179) ---
+    use_filter_joins: bool = True          # InjectJoinFilters: HashJoin -> FilterJoin (LIP)
+    use_lip_filters: bool = True           # AttachLIPFilters
+    reorder_columns: bool = True
+    reorder_hash_joins: bool = True        # StarSchemaHashJoinOrderOptimization
+    use_partition_rule: bool = True
+    visualize_plan: bool = False
+    visualize_execution_dag: bool = False
+    # --- execution (reference ExecutionGenerator + scheduler flags) ---
+    aggregate_hashtable_type: str = "auto"   # auto | collision_free | sort  (TPU paths)
+    join_hashtable_type: str = "auto"        # auto | direct | linear_open_addressing | sort_merge
+    max_sample_dop: int = 16
+    profile_and_report_workorder_perf: bool = False   # per-operator timing report
+    # --- TPU-native knobs ---
+    row_capacity_bucket: int = 1024     # pad row counts to multiples of this (min bucket)
+    geometric_buckets: bool = True      # bucket capacities at powers of two above the min
+    collision_free_domain_limit: int = 1 << 22  # max dense group-by domain (CollisionFreeVectorTable analog)
+    join_output_factor: float = 1.5     # capacity estimate multiplier for many-many joins
+    default_mesh_axis: str = "x"
+    preload_buffer_pool: bool = False   # device-warm base tables at startup
+    bloom_filter_bits_per_key: int = 8  # LIP filter sizing
+    # --- correctness / testing ---
+    float_print_decimals: int = 2
+
+
+# Process-wide default config (tests construct their own and pass it down).
+DEFAULT = Config()

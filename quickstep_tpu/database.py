@@ -1,0 +1,48 @@
+"""Top-level Database facade: the embedded-engine public API.
+
+The equivalent of the reference CLI's engine assembly (cli/QuickstepCli.cpp:159-420:
+StorageManager + QueryProcessor + Foreman + workers), minus the REPL. Users (and the
+CLI/REPL in cli/) construct a Database and call .query() / .execute().
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from quickstep_tpu.config import Config, DEFAULT
+from quickstep_tpu.catalog import Catalog
+
+
+class Database:
+    def __init__(self, config: Optional[Config] = None, storage_path: Optional[str] = None):
+        self.config = config or DEFAULT
+        if storage_path is not None:
+            self.config.storage_path = storage_path
+        self.catalog = Catalog.load(self.config.storage_path) \
+            if storage_path else Catalog()
+        # Executor is constructed lazily to keep import cost low.
+        self._executor = None
+
+    @property
+    def executor(self):
+        if self._executor is None:
+            from quickstep_tpu.exec.executor import Executor
+            self._executor = Executor(self.catalog, self.config)
+        return self._executor
+
+    # ---- public API ----
+    def execute(self, sql: str):
+        """Execute one or more SQL statements; returns the last statement's result."""
+        from quickstep_tpu.parser import parse_statements
+        result = None
+        for stmt in parse_statements(sql):
+            result = self.executor.execute_statement(stmt)
+        return result
+
+    def query(self, sql: str) -> List[tuple]:
+        """Execute a single query and return rows as Python tuples."""
+        res = self.execute(sql)
+        return res.rows if res is not None and hasattr(res, "rows") else []
+
+    def save(self) -> None:
+        self.catalog.save(self.config.storage_path)

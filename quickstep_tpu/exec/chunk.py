@@ -1,0 +1,53 @@
+"""Chunk: the in-flight columnar batch flowing between operators.
+
+Replaces the reference's ValueAccessor + TupleIdSequence pair (storage/
+ValueAccessor.hpp:71, TupleIdSequence.hpp:44): a dict of equal-length device columns
+keyed by ExprId, plus a live-row bool mask. All arrays share a static capacity; the
+live count is a traced scalar — this is what keeps whole plans jit-compilable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from quickstep_tpu.optimizer.logical import OutAttr
+from quickstep_tpu.expressions.scalar import EvalContext
+
+
+@dataclasses.dataclass
+class Chunk:
+    attrs: List[OutAttr]
+    slots: Dict[int, Tuple[object, Optional[object]]]  # expr_id -> (data, valid)
+    alive: object                                      # bool[capacity]
+    capacity: int
+    # host-side (static, per-plan) metadata for physical decisions:
+    ranges: Dict[int, Optional[Tuple[int, int]]] = dataclasses.field(
+        default_factory=dict)
+    unique_sets: List[frozenset] = dataclasses.field(default_factory=list)
+
+    def ctx(self, extra: Optional[dict] = None) -> EvalContext:
+        slots = dict(self.slots)
+        if extra:
+            slots.update(extra)
+        return EvalContext(slots)
+
+    def col(self, expr_id: int):
+        return self.slots[expr_id]
+
+    def count(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    def broadcast(self, data, valid):
+        """Ensure (data, valid) are full-capacity arrays (literals evaluate to
+        scalars)."""
+        data = jnp.broadcast_to(jnp.asarray(data), (self.capacity,))
+        if valid is not None:
+            valid = jnp.broadcast_to(jnp.asarray(valid), (self.capacity,))
+        return data, valid
+
+    def is_unique(self, ids: List[int]) -> bool:
+        s = frozenset(ids)
+        return any(u <= s for u in self.unique_sets)

@@ -1,0 +1,511 @@
+"""The Executor: statement dispatch, whole-query compilation, materialization.
+
+Role parity with the reference's QueryProcessor + ExecutionGenerator + Foreman driver
+loop (query_optimizer/QueryProcessor.cpp:38 generateQueryHandle -> admit ->
+ForemanSingleNode event loop): a SELECT is resolved to a logical plan, traced by
+PlanRunner into one jitted XLA program (cached by structural plan fingerprint +
+input capacities), run on device, and materialized/printed. DDL/DML execute host-side
+against the catalog, mirroring CreateTableOperator / InsertOperator / UpdateOperator /
+DeleteOperator / TextScanOperator / TableExportOperator / DropTableOperator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quickstep_tpu.config import Config
+from quickstep_tpu.errors import ExecutionError, ResolutionError, SqlError
+from quickstep_tpu.catalog import (
+    Catalog, CatalogAttribute, CatalogRelation, PartitionScheme,
+)
+from quickstep_tpu.parser import ast_nodes as A
+from quickstep_tpu.types import Type, TypeID, TypeFactory
+from quickstep_tpu.storage.column import Column, _decode_scalar
+from quickstep_tpu.storage.table import TableData
+from quickstep_tpu.storage import csv_io
+from quickstep_tpu.optimizer import logical as L
+from quickstep_tpu.optimizer.resolver import Resolver, Scope
+from quickstep_tpu.optimizer.rules import optimize_plan
+from quickstep_tpu.exec.chunk import Chunk
+from quickstep_tpu.exec.runner import PlanRunner, JoinOverride
+from quickstep_tpu.exec.result import QueryResult
+from quickstep_tpu.ops import kernels as K
+from quickstep_tpu.expressions.scalar import EvalContext, Lit
+
+
+class Executor:
+    def __init__(self, catalog: Catalog, config: Config):
+        self.catalog = catalog
+        self.config = config
+        self._device_cache: Dict[Tuple[str, int], Tuple[dict, dict]] = {}
+        self._compile_cache: Dict[tuple, object] = {}
+        self.last_profile: Optional[dict] = None
+
+    @property
+    def db(self):
+        return self.catalog.default_database
+
+    # ================================================================
+    # statement dispatch
+    # ================================================================
+    def execute_statement(self, stmt: A.Statement) -> QueryResult:
+        t0 = time.perf_counter()
+        if isinstance(stmt, A.SelectStmt):
+            res = self._run_select(stmt)
+        elif isinstance(stmt, A.CreateTableStmt):
+            res = self._create_table(stmt)
+        elif isinstance(stmt, A.CreateIndexStmt):
+            res = self._create_index(stmt)
+        elif isinstance(stmt, A.DropTableStmt):
+            self.db.drop_relation(stmt.name)
+            res = QueryResult([], [], [], message=f"Table {stmt.name} dropped.")
+        elif isinstance(stmt, A.InsertStmt):
+            res = self._insert(stmt)
+        elif isinstance(stmt, A.UpdateStmt):
+            res = self._update(stmt)
+        elif isinstance(stmt, A.DeleteStmt):
+            res = self._delete(stmt)
+        elif isinstance(stmt, A.CopyStmt):
+            res = self._copy(stmt)
+        elif isinstance(stmt, A.CommandStmt):
+            res = self._command(stmt)
+        else:
+            raise ExecutionError(f"unsupported statement {type(stmt).__name__}")
+        res.execution_time = time.perf_counter() - t0
+        return res
+
+    # ================================================================
+    # SELECT
+    # ================================================================
+    def _run_select(self, stmt: A.SelectStmt) -> QueryResult:
+        resolver = Resolver(self.db)
+        plan = resolver.resolve_select(stmt)
+        plan = optimize_plan(plan, self.config, self.db)
+        rows, names, types = self.run_plan(plan)
+        return QueryResult(names, types, rows)
+
+    def run_plan(self, plan: L.LogicalNode):
+        """Execute a logical plan; returns (rows, names, types)."""
+        inputs, meta = self._collect_inputs(plan)
+        overrides: Dict[int, JoinOverride] = {}
+        for _attempt in range(8):
+            outs, flags, out_attrs = self._compile_and_run(
+                plan, inputs, meta, overrides)
+            retry = self._check_flags(plan, flags, overrides)
+            if not retry:
+                break
+        else:
+            raise ExecutionError("join fallback did not converge")
+        return self._materialize(outs, out_attrs)
+
+    def _compile_and_run(self, plan, inputs, meta, overrides):
+        fp = (_fingerprint(plan),
+              tuple(sorted((k, m["capacity"]) for k, m in meta.items())),
+              tuple(sorted((k, dataclasses.astuple(v))
+                           for k, v in overrides.items())))
+        out_attrs = plan.output
+        cached = self._compile_cache.get(fp)
+        if cached is None:
+            def fn(dev_inputs):
+                runner = PlanRunner(plan, dev_inputs, meta, self.config,
+                                    overrides)
+                chunk = runner.exec(plan)
+                dest, count = K.compact_indices(chunk.alive)
+                datas = []
+                valids = []
+                for a in out_attrs:
+                    d, v = chunk.slots[a.expr_id]
+                    d = jnp.asarray(d)
+                    if d.ndim == 0:
+                        d = jnp.broadcast_to(d, (chunk.capacity,))
+                    datas.append(K.scatter_compact(d, dest, chunk.capacity))
+                    if v is None:
+                        valids.append(None)
+                    else:
+                        valids.append(K.scatter_compact(
+                            v, dest, chunk.capacity, fill=False))
+                return tuple(datas), tuple(valids), count, dict(runner.flags)
+            cached = jax.jit(fn)
+            self._compile_cache[fp] = cached
+        datas, valids, count, flags = cached(inputs)
+        return (datas, valids, count), flags, out_attrs
+
+    def _check_flags(self, plan, flags, overrides) -> bool:
+        """Inspect runtime flags (duplicate build keys / expansion overflow);
+        install overrides and request a retry when needed — the kOutOfSpace
+        retry loop analog."""
+        retry = False
+        for key, val in flags.items():
+            if not bool(val):
+                continue
+            kind, node_id = key.rsplit("_", 1)
+            node_id = int(node_id)
+            if kind == "join_dup":
+                overrides[node_id] = JoinOverride(strategy="expand")
+                retry = True
+            elif kind == "join_overflow":
+                prev = overrides.get(node_id) or JoinOverride(strategy="expand")
+                prev.strategy = "expand"
+                prev.max_matches = (prev.max_matches or 8) * 4
+                overrides[node_id] = prev
+                retry = True
+        return retry
+
+    def _materialize(self, outs, out_attrs):
+        datas, valids, count = outs
+        n = int(count)
+        names = [a.name for a in out_attrs]
+        types = [a.type for a in out_attrs]
+        cols = []
+        for a, d, v in zip(out_attrs, datas, valids):
+            arr = np.asarray(d)[:n]
+            va = None if v is None else np.asarray(v)[:n]
+            if a.dictionary is not None:
+                vals = a.dictionary.decode(arr)
+            else:
+                vals = [_decode_scalar(a.type, x) for x in arr]
+            if va is not None:
+                vals = [x if ok else None for x, ok in zip(vals, va)]
+            cols.append(vals)
+        rows = list(zip(*cols)) if cols else []
+        return rows, names, types
+
+    # ----------------------------------------------------------------
+    # input preparation (StorageManager role: host->HBM with padding)
+    # ----------------------------------------------------------------
+    def _collect_inputs(self, plan: L.LogicalNode):
+        names = set()
+
+        def walk(node):
+            if isinstance(node, L.TableScan):
+                names.add(node.relation_name)
+            for c in node.children():
+                walk(c)
+            # joins/subplans hold nested plans in expressions too
+            for e in _node_exprs(node):
+                from quickstep_tpu.expressions.subquery import SubqueryScalar
+                stack = [e]
+                while stack:
+                    x = stack.pop()
+                    if isinstance(x, SubqueryScalar):
+                        walk(x.plan)
+                    stack.extend(x.children())
+        walk(plan)
+        inputs = {}
+        meta = {}
+        for name in names:
+            rel = self.db.get_relation(name)
+            cols, m = self._device_table(rel)
+            inputs[name] = cols
+            meta[name] = m
+        return inputs, meta
+
+    def _device_table(self, rel: CatalogRelation):
+        key = (rel.name, rel.version)
+        hit = self._device_cache.get(key)
+        if hit is not None:
+            return hit
+        # drop stale versions of this relation
+        for k in [k for k in self._device_cache if k[0] == rel.name]:
+            del self._device_cache[k]
+        n = rel.data.num_rows
+        capacity = self._bucket(n)
+        cols = {"__num_rows__": jnp.asarray(n, jnp.int32)}
+        ranges = {}
+        unique_cols = set()
+        st = rel.statistics
+        for attr in rel.attributes:
+            col = rel.data.columns[attr.name]
+            arr = np.asarray(col.data)
+            pad = capacity - arr.shape[0]
+            data = np.pad(arr, (0, pad))
+            valid = None
+            if col.valid is not None:
+                valid = np.pad(np.asarray(col.valid), (0, pad))
+            cols[attr.name] = (jnp.asarray(data),
+                               None if valid is None else jnp.asarray(valid))
+            if arr.size:
+                lv = arr if col.valid is None else arr[np.asarray(col.valid)]
+                if lv.size and np.issubdtype(arr.dtype, np.integer):
+                    ranges[attr.name] = (int(lv.min()), int(lv.max()))
+            if attr.unique:
+                unique_cols.add(attr.name)
+            if st.exact and st.num_tuples and \
+                    st.num_distinct.get(attr.name) == st.num_tuples:
+                unique_cols.add(attr.name)
+        m = {"capacity": capacity, "ranges": ranges,
+             "unique_cols": unique_cols}
+        self._device_cache[key] = (cols, m)
+        return cols, m
+
+    def _bucket(self, n: int) -> int:
+        b = self.config.row_capacity_bucket
+        if n <= b:
+            return b
+        if self.config.geometric_buckets:
+            return K.next_pow2(n)
+        return K.round_up(n, b)
+
+    # ================================================================
+    # DDL
+    # ================================================================
+    def _create_table(self, stmt: A.CreateTableStmt) -> QueryResult:
+        attrs = []
+        for cd in stmt.columns:
+            t = TypeFactory.from_name(cd.type_name, cd.type_length,
+                                      nullable=not cd.not_null)
+            attrs.append(CatalogAttribute(cd.name, t, unique=cd.unique))
+        rel = CatalogRelation(stmt.name, attrs)
+        if stmt.partition_kind:
+            rel.partition_scheme = PartitionScheme(
+                kind=stmt.partition_kind, attributes=stmt.partition_attrs,
+                num_partitions=stmt.partition_count)
+        # BLOCKPROPERTIES accepted for compatibility (block layouts have no TPU
+        # analog: columns are always struct-of-arrays in HBM)
+        self.db.add_relation(rel)
+        return QueryResult([], [], [], message=f"Table {stmt.name} created.")
+
+    def _create_index(self, stmt: A.CreateIndexStmt) -> QueryResult:
+        rel = self._rel(stmt.table_name)
+        rel.indices.append({"name": stmt.index_name, "attrs": stmt.attrs,
+                            "type": stmt.index_type})
+        return QueryResult([], [], [],
+                           message=f"Index {stmt.index_name} created.")
+
+    def _rel(self, name: str) -> CatalogRelation:
+        rel = self.db.get_relation(name)
+        if rel is None:
+            raise ExecutionError(f"unknown relation {name}")
+        return rel
+
+    # ================================================================
+    # DML
+    # ================================================================
+    def _insert(self, stmt: A.InsertStmt) -> QueryResult:
+        rel = self._rel(stmt.table_name)
+        schema = [(a.name, a.type) for a in rel.attributes]
+        if stmt.select is not None:
+            sub = self._run_select(stmt.select)
+            rows = sub.rows
+        else:
+            resolver = Resolver(self.db)
+            rows = []
+            for row_exprs in stmt.rows:
+                vals = []
+                for ast_e, attr in zip(row_exprs, rel.attributes):
+                    e = resolver._resolve_expr(ast_e, Scope(), _EMPTY_STATE)
+                    if not isinstance(e, Lit):
+                        raise ExecutionError("INSERT VALUES must be literals")
+                    vals.append(self._literal_for(attr.type, e))
+                rows.append(tuple(vals))
+        rel.append_data(TableData.from_rows(schema, rows))
+        return QueryResult([], [], [], rows_affected=len(rows))
+
+    def _literal_for(self, t: Type, e: Lit):
+        if e.value is None:
+            return None
+        if t.is_string:
+            return str(e.value)
+        if t.type_id in (TypeID.DATE, TypeID.DATETIME):
+            # literals already parsed into device encoding at resolve time if typed;
+            # bare strings parsed here
+            if isinstance(e.value, str):
+                from quickstep_tpu.types.datetime_util import (
+                    parse_date_literal, parse_datetime_literal)
+                return (parse_date_literal(e.value)
+                        if t.type_id == TypeID.DATE
+                        else parse_datetime_literal(e.value))
+            return int(e.value)
+        if t.is_floating:
+            return float(e.value)
+        return int(e.value)
+
+    def _eval_on_relation(self, rel: CatalogRelation, expr_ast: A.Expr):
+        """Host-side eager evaluation of an expression over a full relation
+        (UpdateOperator / DeleteOperator per-block predicate path)."""
+        resolver = Resolver(self.db)
+        scope = Scope()
+        from quickstep_tpu.optimizer.logical import OutAttr, next_expr_id
+        slot_map = {}
+        for a in rel.attributes:
+            col = rel.data.columns[a.name]
+            oa = OutAttr(next_expr_id(), a.name, a.type, col.dictionary)
+            scope.add(rel.name, oa)
+            valid = None if col.valid is None else jnp.asarray(col.valid)
+            slot_map[oa.expr_id] = (jnp.asarray(np.asarray(col.data)), valid)
+        e = resolver._resolve_expr(expr_ast, scope, _EMPTY_STATE)
+        d, v = e.eval(EvalContext(slot_map))
+        return e, np.asarray(jnp.broadcast_to(jnp.asarray(d),
+                                              (rel.data.num_rows,))), \
+            None if v is None else np.asarray(
+                jnp.broadcast_to(v, (rel.data.num_rows,)))
+
+    def _delete(self, stmt: A.DeleteStmt) -> QueryResult:
+        rel = self._rel(stmt.table_name)
+        n = rel.data.num_rows
+        if stmt.where is None:
+            rel.set_data(TableData.empty(
+                [(a.name, a.type) for a in rel.attributes]))
+            return QueryResult([], [], [], rows_affected=n)
+        _, d, v = self._eval_on_relation(rel, stmt.where)
+        mask = d.astype(bool)
+        if v is not None:
+            mask &= v
+        keep = ~mask
+        rel.set_data(rel.data.select_rows(np.nonzero(keep)[0]))
+        return QueryResult([], [], [], rows_affected=int(mask.sum()))
+
+    def _update(self, stmt: A.UpdateStmt) -> QueryResult:
+        rel = self._rel(stmt.table_name)
+        n = rel.data.num_rows
+        if stmt.where is not None:
+            _, d, v = self._eval_on_relation(rel, stmt.where)
+            mask = d.astype(bool)
+            if v is not None:
+                mask &= v
+        else:
+            mask = np.ones(n, dtype=bool)
+        new_cols = dict(rel.data.columns)
+        for col_name, expr_ast in stmt.assignments:
+            attr = rel.attribute_by_name(col_name)
+            if attr is None:
+                raise ExecutionError(f"unknown column {col_name}")
+            e, d, v = self._eval_on_relation(rel, expr_ast)
+            old = rel.data.columns[attr.name]
+            if attr.type.is_string:
+                # decode new values through the expression's dictionary, then
+                # rebuild the column dictionary over updated data
+                from quickstep_tpu.optimizer.resolver import _expr_dictionary
+                ed = _expr_dictionary(e)
+                vals = old.to_pylist()
+                new_vals = ed.decode(d) if ed is not None else [str(x) for x in d]
+                for i in np.nonzero(mask)[0]:
+                    vals[int(i)] = new_vals[int(i)]
+                new_cols[attr.name] = Column.from_values(attr.type, vals)
+            else:
+                data = np.asarray(old.data).copy()
+                data[mask] = d[mask].astype(data.dtype)
+                valid = old.valid
+                if v is not None:
+                    valid = (np.ones(n, bool) if valid is None
+                             else np.asarray(valid).copy())
+                    valid[mask] = v[mask]
+                new_cols[attr.name] = Column(attr.type, data, valid, None)
+        rel.set_data(TableData(new_cols))
+        return QueryResult([], [], [], rows_affected=int(mask.sum()))
+
+    def _copy(self, stmt: A.CopyStmt) -> QueryResult:
+        rel = self._rel(stmt.table_name)
+        delim = str(stmt.options.get("delimiter", "\t"))
+        header = bool(stmt.options.get("header", False))
+        schema = [(a.name, a.type) for a in rel.attributes]
+        if stmt.direction == "from":
+            data = csv_io.load_csv(stmt.path, schema, delimiter=delim,
+                                   header=header)
+            rel.append_data(data)
+            rel.analyze()
+            return QueryResult([], [], [], rows_affected=data.num_rows)
+        n = csv_io.export_csv(stmt.path, rel.data, delimiter=delim,
+                              header=header)
+        return QueryResult([], [], [], rows_affected=n)
+
+    # ================================================================
+    # CLI commands (reference cli/CommandExecutor.cpp)
+    # ================================================================
+    def _command(self, stmt: A.CommandStmt) -> QueryResult:
+        cmd = stmt.command
+        if cmd == "\\dt":
+            rows = [(r.name,) for r in self.db.relations.values()]
+            from quickstep_tpu.types import VarChar
+            return QueryResult(["Table"], [VarChar(64)], rows)
+        if cmd == "\\d":
+            if not stmt.args:
+                return self._command(A.CommandStmt(command="\\dt"))
+            rel = self._rel(stmt.args[0])
+            from quickstep_tpu.types import VarChar
+            rows = [(a.name, a.type.name()) for a in rel.attributes]
+            return QueryResult(["Column", "Type"], [VarChar(64), VarChar(64)],
+                               rows)
+        if cmd == "\\analyze":
+            targets = stmt.args or list(self.db.relations.keys())
+            for t in targets:
+                self._rel(t).analyze()
+            return QueryResult([], [], [], message="Analyzed.")
+        raise ExecutionError(f"unknown command {cmd}")
+
+
+class _EmptyState:
+    def __init__(self):
+        self.pending_joins = []
+        self.uncorrelated_scalar_subplans = []
+
+
+_EMPTY_STATE = _EmptyState()
+
+
+# =====================================================================
+# plan fingerprinting (compile-cache key)
+# =====================================================================
+
+def _node_exprs(node: L.LogicalNode):
+    out = []
+    if isinstance(node, L.Filter):
+        out.append(node.predicate)
+    elif isinstance(node, L.Project):
+        out.extend(node.exprs)
+    elif isinstance(node, L.Join):
+        out.extend(node.left_keys + node.right_keys)
+        if node.residual is not None:
+            out.append(node.residual)
+    elif isinstance(node, L.Aggregate):
+        out.extend(node.group_by)
+        for s in node.aggregates:
+            if s.arg is not None:
+                out.append(s.arg)
+    elif isinstance(node, L.Sort):
+        out.extend(node.keys)
+    return out
+
+
+def _fingerprint(node: L.LogicalNode) -> tuple:
+    parts = [type(node).__name__]
+    if isinstance(node, L.TableScan):
+        parts.append(node.relation_name)
+        parts.append(tuple(a.expr_id for a in node.attrs))
+    if isinstance(node, L.Generator):
+        parts.append((node.start, node.end, node.step))
+    if isinstance(node, L.Join):
+        parts.append(node.kind)
+    if isinstance(node, L.Aggregate):
+        parts.append(tuple((s.fn, s.distinct) for s in node.aggregates))
+        parts.append(tuple(a.expr_id for a in node.output))
+    if isinstance(node, L.Sort):
+        parts.append((tuple(node.ascending), tuple(node.nulls_first),
+                      node.limit))
+    if isinstance(node, L.Limit):
+        parts.append(node.limit)
+    if isinstance(node, L.SetOperation):
+        parts.append(node.kind)
+    if isinstance(node, (L.Project,)):
+        parts.append(tuple(a.expr_id for a in node.attrs))
+    for e in _node_exprs(node):
+        parts.append(_expr_fp(e))
+    for c in node.children():
+        parts.append(_fingerprint(c))
+    return tuple(parts)
+
+
+def _expr_fp(e) -> tuple:
+    from quickstep_tpu.expressions.subquery import SubqueryScalar
+    if isinstance(e, SubqueryScalar):
+        return ("subquery", _fingerprint(e.plan))
+    try:
+        return e.key()
+    except Exception:
+        return (type(e).__name__,)

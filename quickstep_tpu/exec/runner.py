@@ -1,0 +1,808 @@
+"""PlanRunner: traces a logical plan into one JAX computation.
+
+This is the TPU-native replacement for the reference's entire query_execution/ layer
+(ForemanSingleNode + Worker threads + WorkOrders + QueryManager state machine,
+query_execution/README.md): instead of dispatching one WorkOrder per storage block to
+worker threads, the whole operator DAG is traced into a single XLA program per query —
+XLA's scheduler provides the pipelining/fusion that the WorkOrder scheduler provided,
+and SPMD sharding (parallel/) provides the parallelism. Pipeline breakers (hash build,
+aggregation finalize, sort) are simply data dependencies inside the program.
+
+Physical operator choices (dense vs sort aggregation, direct vs open-addressing vs
+expansion join) are made host-side at trace time from plan-time ranges/uniqueness —
+the ExecutionGenerator role (query_optimizer/ExecutionGenerator.cpp). Runtime
+fallbacks (duplicate build keys, expansion overflow) surface as boolean flags the
+executor checks, mirroring the reference's kOutOfSpace resize loop
+(storage/HashTableBase.hpp:65).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quickstep_tpu.config import Config
+from quickstep_tpu.errors import ExecutionError
+from quickstep_tpu.types import Type, TypeID
+from quickstep_tpu.expressions.scalar import Expr, Attr, Lit
+from quickstep_tpu.expressions.aggregate import AggregateSpec
+from quickstep_tpu.optimizer import logical as L
+from quickstep_tpu.optimizer.logical import OutAttr
+from quickstep_tpu.optimizer.stats import infer_range
+from quickstep_tpu.exec.chunk import Chunk
+from quickstep_tpu.ops import kernels as K
+from quickstep_tpu.ops import groupby as G
+from quickstep_tpu.ops import join as J
+from quickstep_tpu.ops import sort as S
+
+
+@dataclasses.dataclass
+class JoinOverride:
+    """Executor-supplied retry directives keyed by plan-node id."""
+    strategy: Optional[str] = None    # force 'expand'
+    max_matches: Optional[int] = None
+
+
+class PlanRunner:
+    def __init__(self, plan: L.LogicalNode, inputs: Dict[str, Dict[str, object]],
+                 input_meta: Dict[str, dict], config: Config,
+                 overrides: Optional[Dict[int, JoinOverride]] = None):
+        """inputs: relation name -> {attr name -> (data, valid), "__num_rows__"}.
+        input_meta: relation name -> {capacity, ranges, unique_cols}.
+        overrides are keyed by structural (preorder) join indices so they survive
+        re-resolution of the same query."""
+        self.inputs = inputs
+        self.input_meta = input_meta
+        self.config = config
+        self.overrides = overrides or {}
+        self.flags: Dict[str, object] = {}   # runtime check flags (dup keys, overflow)
+        self._memo: Dict[int, Chunk] = {}    # shared subplans / scalar subqueries
+        self._subquery_slots: Dict = {}
+        self.node_index: Dict[int, int] = {}
+        self._assign_indices(plan, [0])
+
+    def _assign_indices(self, node: L.LogicalNode, counter: List[int]):
+        from quickstep_tpu.expressions.subquery import SubqueryScalar
+        self.node_index[id(node)] = counter[0]
+        counter[0] += 1
+        for c in node.children():
+            self._assign_indices(c, counter)
+        # subquery plans embedded in expressions
+        for e in _node_expr_list(node):
+            stack = [e]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, SubqueryScalar):
+                    self._assign_indices(x.plan, counter)
+                stack.extend(x.children())
+
+    # ----------------------------------------------------------------
+    def run(self, plan: L.LogicalNode) -> Chunk:
+        return self.exec(plan)
+
+    def exec(self, node: L.LogicalNode) -> Chunk:
+        m = getattr(self, f"_exec_{type(node).__name__}", None)
+        if m is None:
+            raise ExecutionError(f"no executor for {type(node).__name__}")
+        return m(node)
+
+    def _exec_memo(self, plan: L.LogicalNode) -> Chunk:
+        key = id(plan)
+        if key not in self._memo:
+            self._memo[key] = self.exec(plan)
+        return self._memo[key]
+
+    # ----------------------------------------------------------------
+    # scan / generator
+    # ----------------------------------------------------------------
+    def _exec_TableScan(self, node: L.TableScan) -> Chunk:
+        cols = self.inputs[node.relation_name]
+        meta = self.input_meta[node.relation_name]
+        capacity = meta["capacity"]
+        slots = {}
+        ranges = {}
+        unique_sets = []
+        for a in node.attrs:
+            data, valid = cols[a.name]
+            slots[a.expr_id] = (data, valid)
+            r = meta["ranges"].get(a.name)
+            ranges[a.expr_id] = r
+            if a.name in meta.get("unique_cols", ()):
+                unique_sets.append(frozenset([a.expr_id]))
+        alive = K.alive_mask(capacity, cols["__num_rows__"])
+        chunk = Chunk(attrs=list(node.attrs), slots=slots, alive=alive,
+                      capacity=capacity, ranges=ranges, unique_sets=unique_sets)
+        if node.sample_kind:
+            # TUPLESAMPLE/BLOCKSAMPLE n PERCENT (reference SampleOperator.hpp:60).
+            # Deterministic hash-based Bernoulli sample on the row index.
+            r = K.hash64(jnp.arange(capacity, dtype=jnp.int64))
+            thresh = jnp.uint64(int((node.sample_percent / 100.0) * (2**64 - 1)))
+            chunk.alive = chunk.alive & (r < thresh)
+        return chunk
+
+    def _exec_Generator(self, node: L.Generator) -> Chunk:
+        n = max(0, (node.end - node.start) // node.step + 1) \
+            if node.step != 0 else 0
+        capacity = max(K.round_up(n, 8), 8)
+        data = (jnp.arange(capacity, dtype=jnp.int64) * node.step + node.start)
+        a = node.attrs[0]
+        return Chunk(attrs=list(node.attrs),
+                     slots={a.expr_id: (data, None)},
+                     alive=K.alive_mask(capacity, n), capacity=capacity,
+                     ranges={a.expr_id: (min(node.start, node.end),
+                                         max(node.start, node.end))})
+
+    def _exec_SharedSubplan(self, node: L.SharedSubplan) -> Chunk:
+        inner = self._exec_memo(node.plan)
+        slots = {}
+        ranges = {}
+        for fresh, orig in zip(node.attrs, inner.attrs):
+            slots[fresh.expr_id] = inner.slots[orig.expr_id]
+            ranges[fresh.expr_id] = inner.ranges.get(orig.expr_id)
+        remap = {o.expr_id: f.expr_id for f, o in zip(node.attrs, inner.attrs)}
+        uniq = [frozenset(remap[i] for i in s if i in remap)
+                for s in inner.unique_sets
+                if all(i in remap for i in s)]
+        return Chunk(attrs=list(node.attrs), slots=slots, alive=inner.alive,
+                     capacity=inner.capacity, ranges=ranges, unique_sets=uniq)
+
+    # ----------------------------------------------------------------
+    # filter / project
+    # ----------------------------------------------------------------
+    def _eval(self, chunk: Chunk, e: Expr):
+        ctx = chunk.ctx(extra=self._subquery_slots)
+        return e.eval(ctx)
+
+    def _eval_pred(self, chunk: Chunk, e: Expr):
+        self._bind_subqueries(e)
+        d, v = self._eval(chunk, e)
+        d = jnp.broadcast_to(jnp.asarray(d, dtype=bool), (chunk.capacity,))
+        if v is not None:
+            d = d & jnp.broadcast_to(v, (chunk.capacity,))
+        return d
+
+    def _exec_Filter(self, node: L.Filter) -> Chunk:
+        chunk = self.exec(node.input)
+        passed = self._eval_pred(chunk, node.predicate)
+        return dataclasses.replace(chunk, alive=chunk.alive & passed)
+
+    def _exec_Project(self, node: L.Project) -> Chunk:
+        chunk = self.exec(node.input)
+        slots = {}
+        ranges = {}
+        for e, a in zip(node.exprs, node.attrs):
+            self._bind_subqueries(e)
+            d, v = self._eval(chunk, e)
+            d, v = chunk.broadcast(jnp.asarray(d, dtype=a.type.device_dtype), v)
+            slots[a.expr_id] = (d, v)
+            ranges[a.expr_id] = infer_range(e, chunk.ranges)
+        # uniqueness survives for pass-through attrs
+        passthru = {e.expr_id: a.expr_id for e, a in zip(node.exprs, node.attrs)
+                    if isinstance(e, Attr)}
+        uniq = [frozenset(passthru[i] for i in s)
+                for s in chunk.unique_sets if all(i in passthru for i in s)]
+        return Chunk(attrs=list(node.attrs), slots=slots, alive=chunk.alive,
+                     capacity=chunk.capacity, ranges=ranges, unique_sets=uniq)
+
+    def _bind_subqueries(self, e: Expr):
+        """Pre-execute uncorrelated scalar subqueries referenced by e."""
+        from quickstep_tpu.expressions.subquery import SubqueryScalar
+        stack = [e]
+        while stack:
+            x = stack.pop()
+            if isinstance(x, SubqueryScalar):
+                key = ("subquery", id(x.plan))
+                if key not in self._subquery_slots:
+                    sub = self._exec_memo(x.plan)
+                    out0 = sub.attrs[0]
+                    data, valid = sub.slots[out0.expr_id]
+                    # first live row (scalar aggregates produce exactly one)
+                    first = jnp.argmax(sub.alive)
+                    any_row = jnp.any(sub.alive)
+                    val = jnp.asarray(data)[first]
+                    ok = any_row if valid is None else (any_row & valid[first])
+                    self._subquery_slots[key] = (val, ok)
+            stack.extend(x.children())
+
+    # ----------------------------------------------------------------
+    # aggregate
+    # ----------------------------------------------------------------
+    def _exec_Aggregate(self, node: L.Aggregate) -> Chunk:
+        chunk = self.exec(node.input)
+        for spec in node.aggregates:
+            if spec.arg is not None:
+                self._bind_subqueries(spec.arg)
+        for ge in node.group_by:
+            self._bind_subqueries(ge)
+
+        if not node.group_by:
+            return self._scalar_aggregate(node, chunk)
+
+        # evaluate group keys
+        key_data, key_valid = [], []
+        key_ranges = []
+        for ge in node.group_by:
+            d, v = self._eval(chunk, ge)
+            d, v = chunk.broadcast(d, v)
+            key_data.append(d)
+            key_valid.append(v)
+            key_ranges.append(infer_range(ge, chunk.ranges))
+
+        agg_inputs = []
+        distinct_flags = []
+        for spec in node.aggregates:
+            if spec.arg is None:
+                agg_inputs.append((spec.fn, None, None))
+            else:
+                d, v = self._eval(chunk, spec.arg)
+                d, v = chunk.broadcast(d, v)
+                if spec.fn in ("sum", "avg") and spec.arg.type.is_integral:
+                    d = d.astype(jnp.int64)
+                agg_inputs.append((spec.fn, d, v))
+            distinct_flags.append(spec.distinct)
+
+        use_dense = self._dense_ok(key_ranges, key_valid)
+        if any(distinct_flags):
+            return self._distinct_aggregate(node, chunk, key_data, key_valid,
+                                            agg_inputs, distinct_flags, key_ranges)
+        if use_dense:
+            return self._dense_aggregate(node, chunk, key_data, key_ranges,
+                                         agg_inputs)
+        return self._sort_aggregate(node, chunk, key_data, key_valid, agg_inputs)
+
+    def _dense_ok(self, key_ranges, key_valid) -> bool:
+        if self.config.aggregate_hashtable_type == "sort":
+            return False
+        if any(v is not None for v in key_valid):
+            return False   # nullable keys: use sort path (null group)
+        domain = 1
+        for r in key_ranges:
+            if r is None:
+                return False
+            domain *= (r[1] - r[0] + 1)
+            if domain > self.config.collision_free_domain_limit:
+                return False
+        return True
+
+    def _dense_layout(self, key_ranges):
+        offsets = [r[0] for r in key_ranges]
+        sizes = [r[1] - r[0] + 1 for r in key_ranges]
+        strides = []
+        acc = 1
+        for s in reversed(sizes):
+            strides.append(acc)
+            acc *= s
+        strides = list(reversed(strides))
+        return offsets, sizes, strides, acc
+
+    def _dense_aggregate(self, node, chunk, key_data, key_ranges, agg_inputs):
+        offsets, sizes, strides, domain = self._dense_layout(key_ranges)
+        idx = G.pack_dense_index(key_data, offsets, strides, domain, chunk.alive)
+        occupied, results = G.dense_groupby(idx, domain, agg_inputs, chunk.alive)
+        # reconstruct group keys by unpacking the dense index
+        gidx = jnp.arange(domain, dtype=jnp.int64)
+        slots = {}
+        ranges = {}
+        for a, off, size, stride, r in zip(node.group_attrs, offsets, sizes,
+                                           strides, key_ranges):
+            vals = (gidx // stride) % size + off
+            slots[a.expr_id] = (vals.astype(a.type.device_dtype), None)
+            ranges[a.expr_id] = r
+        self._fill_agg_slots(node, results, slots, domain)
+        uniq = [frozenset(a.expr_id for a in node.group_attrs)]
+        return Chunk(attrs=list(node.output), slots=slots, alive=occupied,
+                     capacity=domain, ranges=ranges, unique_sets=uniq)
+
+    def _sort_aggregate(self, node, chunk, key_data, key_valid, agg_inputs):
+        out_keys, out_valids, n_groups, results = G.sort_groupby(
+            key_data, key_valid, agg_inputs, chunk.alive)
+        capacity = chunk.capacity
+        slots = {}
+        ranges = {}
+        for a, kd, kv, ge in zip(node.group_attrs, out_keys, out_valids,
+                                 node.group_by):
+            slots[a.expr_id] = (kd.astype(a.type.device_dtype), kv)
+            ranges[a.expr_id] = infer_range(ge, chunk.ranges)
+        self._fill_agg_slots(node, results, slots, capacity)
+        uniq = [frozenset(a.expr_id for a in node.group_attrs)]
+        return Chunk(attrs=list(node.output), slots=slots,
+                     alive=K.alive_mask(capacity, n_groups), capacity=capacity,
+                     ranges=ranges, unique_sets=uniq)
+
+    def _fill_agg_slots(self, node, results, slots, capacity):
+        for spec, a, (data, nn) in zip(node.aggregates, node.agg_attrs, results):
+            data = data.astype(a.type.device_dtype)
+            if spec.fn == "count":
+                slots[a.expr_id] = (data, None)
+            else:
+                slots[a.expr_id] = (data, nn > 0)
+
+    def _scalar_aggregate(self, node: L.Aggregate, chunk: Chunk) -> Chunk:
+        # One output row, capacity 8 for alignment.
+        capacity = 8
+        alive = K.alive_mask(capacity, 1)
+        slots = {}
+        for spec, a in zip(node.aggregates, node.agg_attrs):
+            if spec.distinct and spec.fn == "count":
+                d, v = self._eval(chunk, spec.arg)
+                d, v = chunk.broadcast(d, v)
+                val = G.distinct_count(d, v, chunk.alive)
+                nn = jnp.asarray(1, jnp.int64)
+            else:
+                if spec.arg is None:
+                    vals, valid = None, None
+                else:
+                    vals, valid = self._eval(chunk, spec.arg)
+                    vals, valid = chunk.broadcast(vals, valid)
+                    if spec.fn in ("sum", "avg") and spec.arg.type.is_integral:
+                        vals = vals.astype(jnp.int64)
+                    if spec.distinct:
+                        # SUM/AVG/MIN/MAX DISTINCT: dedup via sort boundaries
+                        vals, valid, chunk_alive = self._dedup_values(
+                            vals, valid, chunk.alive)
+                        val, nn = G.scalar_agg(spec.fn, vals, valid, chunk_alive)
+                        data = jnp.broadcast_to(
+                            jnp.asarray(val, a.type.device_dtype), (capacity,))
+                        slots[a.expr_id] = (data, alive & (nn > 0))
+                        continue
+                val, nn = G.scalar_agg(spec.fn, vals, valid, chunk.alive)
+            data = jnp.broadcast_to(jnp.asarray(val, a.type.device_dtype),
+                                    (capacity,))
+            if spec.fn == "count":
+                slots[a.expr_id] = (data, None)
+            else:
+                slots[a.expr_id] = (data, alive & (nn > 0))
+        return Chunk(attrs=list(node.output), slots=slots, alive=alive,
+                     capacity=capacity, ranges={})
+
+    def _dedup_values(self, vals, valid, alive):
+        live = alive if valid is None else (alive & valid)
+        k = jnp.where(live, vals, K.max_sentinel(vals.dtype))
+        s = jnp.sort(k)
+        n_live = jnp.sum(live.astype(jnp.int32))
+        idx = jnp.arange(s.shape[0])
+        boundary = ((idx == 0) | (s != jnp.roll(s, 1))) & (idx < n_live)
+        return s, None, boundary
+
+    def _distinct_aggregate(self, node, chunk, key_data, key_valid, agg_inputs,
+                            distinct_flags, key_ranges):
+        """DISTINCT aggregates: pre-dedup (group keys + arg) rows, then aggregate.
+        Mirrors the reference's distinctify hash tables
+        (AggregationOperationState.cpp). Non-distinct aggregates in the same query
+        run on the raw input and are merged positionally."""
+        # dedup pass: group by (keys + arg) with no aggregates, then aggregate the
+        # deduped chunk for the distinct specs; run non-distinct on the raw chunk.
+        out_cols = {}
+        base_keys_out = None
+        n_groups_out = None
+        capacity = chunk.capacity
+        results = [None] * len(agg_inputs)
+        # non-distinct part on raw input
+        nd_inputs = [ai for ai, f in zip(agg_inputs, distinct_flags) if not f]
+        if nd_inputs:
+            k1, v1, ng, res_nd = G.sort_groupby(key_data, key_valid, nd_inputs,
+                                                chunk.alive)
+            base_keys_out, base_valids_out, n_groups_out = k1, v1, ng
+            it = iter(res_nd)
+            for i, f in enumerate(distinct_flags):
+                if not f:
+                    results[i] = next(it)
+        for i, (ai, f) in enumerate(zip(agg_inputs, distinct_flags)):
+            if not f:
+                continue
+            fn, vals, valid = ai
+            dk, dv, dn, _ = G.sort_groupby(
+                key_data + [vals], key_valid + [valid], [], chunk.alive)
+            dd_alive = K.alive_mask(capacity, dn)
+            sub_keys = dk[:-1]
+            sub_valids = dv[:-1]
+            sub_vals = dk[-1]
+            sub_valid = dv[-1]
+            k2, v2, ng2, res_d = G.sort_groupby(
+                sub_keys, sub_valids, [(fn, sub_vals, sub_valid)], dd_alive)
+            results[i] = res_d[0]
+            if base_keys_out is None:
+                base_keys_out, base_valids_out, n_groups_out = k2, v2, ng2
+        slots = {}
+        ranges = {}
+        for a, kd, kv, ge in zip(node.group_attrs, base_keys_out,
+                                 base_valids_out, node.group_by):
+            slots[a.expr_id] = (kd.astype(a.type.device_dtype), kv)
+            ranges[a.expr_id] = infer_range(ge, chunk.ranges)
+        self._fill_agg_slots(node, results, slots, capacity)
+        uniq = [frozenset(a.expr_id for a in node.group_attrs)]
+        return Chunk(attrs=list(node.output), slots=slots,
+                     alive=K.alive_mask(capacity, n_groups_out),
+                     capacity=capacity, ranges=ranges, unique_sets=uniq)
+
+    # ----------------------------------------------------------------
+    # joins
+    # ----------------------------------------------------------------
+    def _exec_Join(self, node: L.Join) -> Chunk:
+        if node.kind == "cross":
+            return self._cross_join(node)
+        probe = self.exec(node.left)
+        build = self.exec(node.right)
+        for e in node.left_keys + node.right_keys:
+            self._bind_subqueries(e)
+
+        pk_data = []
+        for e in node.left_keys:
+            d, v = self._eval(probe, e)
+            d, _ = probe.broadcast(d, v)
+            pk_data.append(d)
+        bk_data = []
+        for e in node.right_keys:
+            d, v = self._eval(build, e)
+            d, _ = build.broadcast(d, v)
+            bk_data.append(d)
+
+        build_key_ids = [e.expr_id for e in node.right_keys
+                         if isinstance(e, Attr)]
+        build_unique = (len(build_key_ids) == len(node.right_keys)) and \
+            build.is_unique(build_key_ids)
+        ov = self.overrides.get(self.node_index[id(node)])
+        strategy = None
+        if ov and ov.strategy:
+            strategy = ov.strategy
+        elif build_unique or node.kind in ("semi", "anti"):
+            # semi/anti need only existence: duplicates in build are harmless for
+            # the pure-key case (residuals force the expansion path below)
+            if node.kind in ("semi", "anti") and node.residual is not None:
+                strategy = "expand"
+            else:
+                strategy = "unique"
+        else:
+            strategy = "expand"
+
+        if strategy == "unique":
+            return self._unique_join(node, probe, build, pk_data, bk_data,
+                                     check_dups=not build_unique)
+        return self._expand_join(node, probe, build, pk_data, bk_data, ov)
+
+    def _key_ranges(self, keys, chunk):
+        return [infer_range(e, chunk.ranges) for e in keys]
+
+    def _unique_join(self, node, probe, build, pk_data, bk_data, check_dups):
+        """Build once, probe with ≤1 match per probe row. Covers inner/left/semi/
+        anti joins against unique (PK-style) build sides."""
+        ranges = self._key_ranges(node.right_keys, build)
+        use_direct = (len(bk_data) == 1 and ranges[0] is not None and
+                      (ranges[0][1] - ranges[0][0] + 1) <=
+                      self.config.collision_free_domain_limit)
+        if use_direct:
+            lo, hi = ranges[0]
+            domain = hi - lo + 1
+            table, dup = J.direct_build(bk_data[0], build.alive, lo, domain)
+            bidx, matched = J.direct_probe(table, pk_data[0], probe.alive, lo,
+                                           domain)
+        else:
+            tsize = K.next_pow2(2 * build.capacity)
+            table, dup = J.oa_build(bk_data, build.alive, tsize)
+            bidx, matched = J.oa_probe(table, bk_data, pk_data, probe.alive)
+        if check_dups:
+            self.flags[f"join_dup_{self.node_index[id(node)]}"] = dup
+
+        if node.kind == "semi":
+            return dataclasses.replace(probe, alive=probe.alive & matched)
+        if node.kind == "anti":
+            return dataclasses.replace(probe, alive=probe.alive & ~matched)
+
+        # inner/left: gather build columns into probe order
+        safe = jnp.clip(bidx, 0, build.capacity - 1)
+        slots = dict(probe.slots)
+        ranges_out = dict(probe.ranges)
+        for a in build.attrs:
+            d, v = build.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (build.capacity,))
+            gd = d[safe]
+            if node.kind == "left":
+                gv = matched if v is None else (matched & v[safe])
+            else:
+                gv = None if v is None else v[safe]
+            slots[a.expr_id] = (gd, gv)
+            ranges_out[a.expr_id] = build.ranges.get(a.expr_id)
+        alive = probe.alive if node.kind == "left" else (probe.alive & matched)
+        out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
+                    capacity=probe.capacity, ranges=ranges_out,
+                    unique_sets=list(probe.unique_sets))
+        if node.residual is not None:
+            if node.kind == "left":
+                # residual participates in the match, not as a post-filter
+                passed = self._eval_pred(out, node.residual)
+                # un-matched or failed-residual: null build side
+                keep = matched & passed
+                for a in build.attrs:
+                    d, v = out.slots[a.expr_id]
+                    out.slots[a.expr_id] = (d, keep if v is None else (keep & v))
+            else:
+                passed = self._eval_pred(out, node.residual)
+                out.alive = out.alive & passed
+        return out
+
+    def _expand_join(self, node, probe, build, pk_data, bk_data, ov):
+        """Sort-based expansion join: handles duplicate build keys, residuals on
+        semi/anti, and many-many inner joins."""
+        # pack build keys into one int64 (range-packed; falls back to hash packing)
+        packed_b, packed_p = self._pack_keys(node, build, probe, bk_data, pk_data)
+        sorted_key, order = J.sorted_build(packed_b, build.alive)
+        max_matches = (ov.max_matches if ov and ov.max_matches
+                       else self._default_k(node))
+        rows, counts = J.expand_probe(sorted_key, order, packed_p, probe.alive,
+                                      max_matches)
+        self.flags[f"join_overflow_{self.node_index[id(node)]}"] = \
+            jnp.any(counts > max_matches)
+
+        if node.kind in ("semi", "anti"):
+            if node.residual is None:
+                matched = counts > 0
+            else:
+                any_match = jnp.zeros((probe.capacity,), bool)
+                for k in range(max_matches):
+                    bidx = rows[:, k]
+                    ok = bidx >= 0
+                    pair = self._pair_chunk(node, probe, build, bidx, ok)
+                    passed = self._eval_pred(pair, node.residual)
+                    any_match = any_match | (ok & passed)
+                matched = any_match
+            if node.kind == "anti":
+                matched = ~matched
+            return dataclasses.replace(probe, alive=probe.alive & matched)
+
+        # inner/left expansion: output capacity = probe capacity * K, flattened
+        cap = probe.capacity * max_matches
+        bidx = rows.reshape(-1)
+        ok = bidx >= 0
+        safe_b = jnp.clip(bidx, 0, build.capacity - 1)
+        pidx = jnp.repeat(jnp.arange(probe.capacity), max_matches)
+        slots = {}
+        for a in probe.attrs:
+            d, v = probe.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (probe.capacity,))
+            slots[a.expr_id] = (d[pidx], None if v is None else v[pidx])
+        for a in build.attrs:
+            d, v = build.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (build.capacity,))
+            slots[a.expr_id] = (d[safe_b], None if v is None else (v[safe_b]))
+        alive = probe.alive[pidx] & ok
+        out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
+                    capacity=cap,
+                    ranges={**{a.expr_id: probe.ranges.get(a.expr_id)
+                               for a in probe.attrs},
+                            **{a.expr_id: build.ranges.get(a.expr_id)
+                               for a in build.attrs}})
+        if node.residual is not None:
+            passed = self._eval_pred(out, node.residual)
+            out.alive = out.alive & passed
+        if node.kind == "left":
+            # keep unmatched probe rows once (k == 0 slot) with null build side
+            first_slot = (jnp.arange(cap) % max_matches) == 0
+            unmatched = (counts[pidx] == 0) & first_slot & probe.alive[pidx]
+            out.alive = out.alive | unmatched
+            for a in build.attrs:
+                d, v = out.slots[a.expr_id]
+                nv = (~unmatched) if v is None else (v & ~unmatched)
+                out.slots[a.expr_id] = (d, nv)
+        return out
+
+    def _pair_chunk(self, node, probe, build, bidx, ok):
+        """Probe-aligned chunk with one candidate build row gathered per probe row
+        (for residual evaluation in semi/anti expansion)."""
+        safe = jnp.clip(bidx, 0, build.capacity - 1)
+        slots = dict(probe.slots)
+        for a in build.attrs:
+            d, v = build.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (build.capacity,))
+            slots[a.expr_id] = (d[safe], ok if v is None else (ok & v[safe]))
+        return Chunk(attrs=list(probe.attrs) + list(build.attrs), slots=slots,
+                     alive=probe.alive & ok, capacity=probe.capacity)
+
+    def _pack_keys(self, node, build, probe, bk_data, pk_data):
+        if len(bk_data) == 1:
+            return bk_data[0].astype(jnp.int64), pk_data[0].astype(jnp.int64)
+        ranges = self._key_ranges(node.right_keys, build)
+        pranges = self._key_ranges(node.left_keys, probe)
+        merged = []
+        for rb, rp in zip(ranges, pranges):
+            if rb is None or rp is None:
+                merged = None
+                break
+            merged.append((min(rb[0], rp[0]), max(rb[1], rp[1])))
+        if merged is not None:
+            total = 1
+            for lo, hi in merged:
+                total *= (hi - lo + 1)
+            if total < 2**62:
+                def pack(cols):
+                    acc = jnp.zeros(cols[0].shape, jnp.int64)
+                    for c, (lo, hi) in zip(cols, merged):
+                        acc = acc * (hi - lo + 1) + (c.astype(jnp.int64) - lo)
+                    return acc
+                return pack(bk_data), pack(pk_data)
+        # hash-packing fallback (collision risk ~2^-64 per pair; the expansion probe
+        # would mis-join on collision — acceptable fallback, planner prefers ranges)
+        from quickstep_tpu.ops.kernels import hash64, hash_combine
+        hb = hash_combine([hash64(c.astype(jnp.int64)) for c in bk_data])
+        hp = hash_combine([hash64(c.astype(jnp.int64)) for c in pk_data])
+        return hb.astype(jnp.int64), hp.astype(jnp.int64)
+
+    def _default_k(self, node) -> int:
+        return 8
+
+    def _cross_join(self, node: L.Join) -> Chunk:
+        left = self.exec(node.left)
+        right = self.exec(node.right)
+        cap = left.capacity * right.capacity
+        if cap > (1 << 26):
+            raise ExecutionError(
+                f"cross join too large ({left.capacity} x {right.capacity})")
+        lidx = jnp.repeat(jnp.arange(left.capacity), right.capacity)
+        ridx = jnp.tile(jnp.arange(right.capacity), left.capacity)
+        slots = {}
+        for a in left.attrs:
+            d, v = left.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (left.capacity,))
+            slots[a.expr_id] = (d[lidx], None if v is None else v[lidx])
+        for a in right.attrs:
+            d, v = right.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (right.capacity,))
+            slots[a.expr_id] = (d[ridx], None if v is None else v[ridx])
+        alive = left.alive[lidx] & right.alive[ridx]
+        return Chunk(attrs=list(node.output), slots=slots, alive=alive,
+                     capacity=cap,
+                     ranges={**left.ranges, **right.ranges})
+
+    # ----------------------------------------------------------------
+    # sort / limit / distinct / set ops
+    # ----------------------------------------------------------------
+    def _exec_Sort(self, node: L.Sort) -> Chunk:
+        chunk = self.exec(node.input)
+        keys, valids = [], []
+        for e in node.keys:
+            d, v = self._eval(chunk, e)
+            d, v = chunk.broadcast(d, v)
+            keys.append(d)
+            valids.append(v)
+        order = S.order_permutation(keys, valids, node.ascending,
+                                    node.nulls_first, chunk.alive)
+        slots = {}
+        for a in chunk.attrs:
+            d, v = chunk.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (chunk.capacity,))
+            slots[a.expr_id] = (d[order], None if v is None else v[order])
+        alive = chunk.alive[order]
+        out = Chunk(attrs=list(chunk.attrs), slots=slots, alive=alive,
+                    capacity=chunk.capacity, ranges=dict(chunk.ranges),
+                    unique_sets=list(chunk.unique_sets))
+        if node.limit is not None:
+            idx = jnp.arange(out.capacity)
+            out.alive = out.alive & (idx < node.limit)
+        return out
+
+    def _exec_Limit(self, node: L.Limit) -> Chunk:
+        chunk = self.exec(node.input)
+        pos = jnp.cumsum(chunk.alive.astype(jnp.int32))
+        return dataclasses.replace(chunk,
+                                   alive=chunk.alive & (pos <= node.limit))
+
+    def _exec_Distinct(self, node: L.Distinct) -> Chunk:
+        chunk = self.exec(node.input)
+        key_data, key_valid = [], []
+        for a in chunk.attrs:
+            d, v = chunk.slots[a.expr_id]
+            d, v = chunk.broadcast(d, v)
+            key_data.append(d)
+            key_valid.append(v)
+        out_keys, out_valids, n_groups, _ = G.sort_groupby(
+            key_data, key_valid, [], chunk.alive)
+        slots = {}
+        for a, kd, kv in zip(chunk.attrs, out_keys, out_valids):
+            slots[a.expr_id] = (kd.astype(a.type.device_dtype), kv)
+        return Chunk(attrs=list(chunk.attrs), slots=slots,
+                     alive=K.alive_mask(chunk.capacity, n_groups),
+                     capacity=chunk.capacity, ranges=dict(chunk.ranges),
+                     unique_sets=[frozenset(a.expr_id for a in chunk.attrs)])
+
+    def _exec_SetOperation(self, node: L.SetOperation) -> Chunk:
+        chunks = [self.exec(c) for c in node.inputs]
+        if node.kind in ("union", "union_all"):
+            cap = sum(c.capacity for c in chunks)
+            slots = {}
+            for i, a in enumerate(node.attrs):
+                parts_d, parts_v = [], []
+                any_valid = False
+                for c in chunks:
+                    ca = c.attrs[i]
+                    d, v = c.slots[ca.expr_id]
+                    d = jnp.asarray(d)
+                    if d.ndim == 0:
+                        d = jnp.broadcast_to(d, (c.capacity,))
+                    d, v = self._remap_for_union(a, ca, d, v)
+                    parts_d.append(d.astype(a.type.device_dtype))
+                    parts_v.append(v)
+                    any_valid = any_valid or v is not None
+                data = jnp.concatenate(parts_d)
+                if any_valid:
+                    valid = jnp.concatenate([
+                        v if v is not None else jnp.ones((c.capacity,), bool)
+                        for v, c in zip(parts_v, chunks)])
+                else:
+                    valid = None
+                slots[a.expr_id] = (data, valid)
+            alive = jnp.concatenate([c.alive for c in chunks])
+            return Chunk(attrs=list(node.attrs), slots=slots, alive=alive,
+                         capacity=cap, ranges={})
+        if node.kind == "intersect":
+            # left semi-join right on all columns, then dedup
+            left, right = chunks
+            lk = [left.broadcast(*left.slots[a.expr_id])[0] for a in left.attrs]
+            rk = [right.broadcast(*right.slots[a.expr_id])[0]
+                  for a in right.attrs]
+            tsize = K.next_pow2(2 * right.capacity)
+            table, _ = J.oa_build(rk, right.alive, tsize)
+            _, matched = J.oa_probe(table, rk, lk, left.alive)
+            semi = dataclasses.replace(left, alive=left.alive & matched)
+            # rename to output ids then dedup
+            slots = {}
+            for a, la in zip(node.attrs, left.attrs):
+                slots[a.expr_id] = semi.slots[la.expr_id]
+            renamed = Chunk(attrs=list(node.attrs), slots=slots,
+                            alive=semi.alive, capacity=semi.capacity)
+            return self._exec_Distinct(L.Distinct(input=_Const(renamed)))
+        raise ExecutionError(f"unknown set op {node.kind}")
+
+    def _remap_for_union(self, out_attr: OutAttr, in_attr: OutAttr, d, v):
+        if out_attr.dictionary is not None and in_attr.dictionary is not None \
+                and out_attr.dictionary is not in_attr.dictionary:
+            from quickstep_tpu.storage.dictionary import Dictionary
+            merged, ra, rb = Dictionary.merge(out_attr.dictionary,
+                                              in_attr.dictionary)
+            # note: executor-level merge requires out_attr.dictionary to already
+            # be the union dictionary; the planner ensures this (set_op planning)
+            rm = jnp.asarray(rb)
+            d = rm[jnp.clip(d, 0, rm.shape[0] - 1)]
+        return d, v
+
+    def _exec_WindowAggregate(self, node: L.WindowAggregate) -> Chunk:
+        raise ExecutionError("window aggregates not yet implemented")
+
+
+def _node_expr_list(node: L.LogicalNode):
+    from quickstep_tpu.exec.executor import _node_exprs
+    return _node_exprs(node)
+
+
+class _Const(L.LogicalNode):
+    """Wraps an already-computed chunk as a plan node (executor-internal)."""
+
+    def __init__(self, chunk: Chunk):
+        self.chunk = chunk
+
+    @property
+    def output(self):
+        return self.chunk.attrs
+
+
+def _exec_const(runner: PlanRunner, node: _Const) -> Chunk:
+    return node.chunk
+
+
+setattr(PlanRunner, "_exec__Const", _exec_const)

@@ -1,0 +1,186 @@
+"""Join kernels.
+
+TPU-native successors of the reference's join hash tables and work orders
+(storage/HashTable.hpp:117 SeparateChaining/LinearOpenAddressing/
+SimpleScalarSeparateChaining; relational_operators/HashJoinOperator.hpp:66 inner/
+semi/anti/outer). No pointers, no chaining — three paths, all static-shape:
+
+1. `direct_build/direct_probe` — the SimpleScalarSeparateChaining analog for dense
+   integer keys (TPC-H PKs are 1..N): table = dense array indexed by (key - lo);
+   build is one scatter, probe is one gather. Chosen when the plan-time key range
+   fits `direct_domain_limit`.
+
+2. `oa_build/oa_probe` — LinearOpenAddressing analog: power-of-two slot table
+   storing build row indices; insertion resolves collisions with bounded
+   scatter-retry rounds inside `lax.while_loop`; key equality is verified by
+   gathering the actual build key columns (composite keys need no packing).
+
+3. `sorted_build/expand_probe` — sort-based fallback for duplicate build keys
+   (many-many joins, semi/anti with residuals over non-unique keys): build side is
+   key-sorted; probes binary-search (searchsorted) the run of matches and expand up
+   to a static K.
+
+Uniqueness violations in paths 1-2 are detected on device (dup flag) so the executor
+can retry with path 3 — the analog of HashTablePutResult::kOutOfSpace resize
+(storage/HashTableBase.hpp:65).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quickstep_tpu.ops.kernels import hash64, hash_combine, next_pow2
+
+
+# ---------------------------------------------------------------------
+# path 1: direct-address (dense int keys)
+# ---------------------------------------------------------------------
+
+def direct_build(key: jnp.ndarray, alive: jnp.ndarray, lo: int, domain: int):
+    """Returns (table[domain] of build row idx or -1, dup flag)."""
+    idx = key.astype(jnp.int64) - lo
+    idx = jnp.where(alive & (idx >= 0) & (idx < domain), idx, domain)
+    rows = jnp.arange(key.shape[0], dtype=jnp.int32)
+    table = jnp.full((domain,), -1, jnp.int32).at[idx].set(rows, mode="drop")
+    occ = jnp.zeros((domain,), jnp.int32).at[idx].add(
+        jnp.ones_like(rows), mode="drop")
+    dup = jnp.any(occ > 1)
+    return table, dup
+
+
+def direct_probe(table: jnp.ndarray, key: jnp.ndarray, alive: jnp.ndarray,
+                 lo: int, domain: int):
+    """Returns (build_row_idx int32 (-1 if none), matched bool)."""
+    idx = key.astype(jnp.int64) - lo
+    in_range = (idx >= 0) & (idx < domain) & alive
+    slot = jnp.clip(idx, 0, domain - 1)
+    b = table[slot]
+    matched = in_range & (b >= 0)
+    return jnp.where(matched, b, -1), matched
+
+
+# ---------------------------------------------------------------------
+# path 2: open-addressing (generic / composite keys)
+# ---------------------------------------------------------------------
+
+def _hash_keys(key_cols: List[jnp.ndarray]) -> jnp.ndarray:
+    hs = [hash64(k.astype(jnp.int64)) for k in key_cols]
+    return hs[0] if len(hs) == 1 else hash_combine(hs)
+
+
+def oa_build(key_cols: List[jnp.ndarray], alive: jnp.ndarray,
+             table_size: int):
+    """Insert build rows into an open-addressing table of row indices.
+
+    table_size must be a power of two > number of live rows. Returns
+    (table[table_size] int32 row idx or -1, dup flag). Collision resolution:
+    last-writer-wins scatter, then losers re-probe at slot+1 — each while_loop
+    round settles at least one contender per slot, so rounds are bounded by the
+    longest collision chain.
+    """
+    n = key_cols[0].shape[0]
+    mask_ts = jnp.uint64(table_size - 1)
+    h = (_hash_keys(key_cols) & mask_ts).astype(jnp.int32)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    table0 = jnp.full((table_size,), -1, jnp.int32)
+
+    def key_eq(rows_a, rows_b):
+        eq = jnp.ones(rows_a.shape, bool)
+        for kc in key_cols:
+            eq = eq & (kc[rows_a] == kc[rows_b])
+        return eq
+
+    def cond(state):
+        _, pending, _, _ = state
+        return jnp.any(pending)
+
+    def body(state):
+        table, pending, slots, dup = state
+        # dead/settled rows scatter out of range
+        sidx = jnp.where(pending, slots, table_size)
+        cand = table.at[sidx].set(rows, mode="drop")
+        # a row is settled if it won its slot, or the slot already holds its key
+        # (duplicate build key -> flag)
+        occupant = cand[jnp.clip(slots, 0, table_size - 1)]
+        won = pending & (occupant == rows)
+        same_key = pending & (~won) & (occupant >= 0) & key_eq(
+            jnp.clip(occupant, 0, n - 1), rows)
+        dup = dup | jnp.any(same_key)
+        still = pending & (~won) & (~same_key)
+        slots = jnp.where(still, (slots + 1) & (table_size - 1), slots)
+        return cand, still, slots, dup
+
+    init = (table0, alive, h, jnp.zeros((), bool))
+    table, _, _, dup = jax.lax.while_loop(cond, body, init)
+    return table, dup
+
+
+def oa_probe(table: jnp.ndarray, build_key_cols: List[jnp.ndarray],
+             probe_key_cols: List[jnp.ndarray], alive: jnp.ndarray):
+    """Probe: returns (build_row_idx (-1 if none), matched). Linear probing until
+    an empty slot or a key match; all probes advance in lockstep under a
+    while_loop with an active mask."""
+    table_size = table.shape[0]
+    nb = build_key_cols[0].shape[0]
+    h = (_hash_keys(probe_key_cols) &
+         jnp.uint64(table_size - 1)).astype(jnp.int32)
+
+    def key_match(build_rows):
+        eq = jnp.ones(build_rows.shape, bool)
+        safe = jnp.clip(build_rows, 0, nb - 1)
+        for bk, pk in zip(build_key_cols, probe_key_cols):
+            eq = eq & (bk[safe] == pk)
+        return eq & (build_rows >= 0)
+
+    def cond(state):
+        active, _, _, _ = state
+        return jnp.any(active)
+
+    def body(state):
+        active, slots, result, steps = state
+        occupant = table[slots]
+        empty = occupant < 0
+        match = key_match(occupant)
+        found = active & match
+        result = jnp.where(found, occupant, result)
+        # stop on match or empty slot or table exhausted
+        active = active & (~match) & (~empty) & (steps < table_size)
+        slots = jnp.where(active, (slots + 1) & (table_size - 1), slots)
+        return active, slots, result, steps + 1
+
+    n = probe_key_cols[0].shape[0]
+    init = (alive, h, jnp.full((n,), -1, jnp.int32), jnp.zeros((), jnp.int32))
+    _, _, result, _ = jax.lax.while_loop(cond, body, init)
+    return result, result >= 0
+
+
+# ---------------------------------------------------------------------
+# path 3: sort-based expansion (duplicate build keys)
+# ---------------------------------------------------------------------
+
+def sorted_build(key: jnp.ndarray, alive: jnp.ndarray):
+    """Single packed int64 key. Dead rows sort to +inf. Returns
+    (sorted_key, order)."""
+    k = jnp.where(alive, key, jnp.iinfo(key.dtype).max)
+    order = jnp.argsort(k)
+    return k[order], order
+
+
+def expand_probe(sorted_key: jnp.ndarray, order: jnp.ndarray,
+                 probe_key: jnp.ndarray, alive: jnp.ndarray,
+                 max_matches: int):
+    """For each probe row, the run [start, end) of equal build keys; returns
+    (build_rows [n, K] int32 (-1 pads), match_counts [n])."""
+    start = jnp.searchsorted(sorted_key, probe_key, side="left")
+    end = jnp.searchsorted(sorted_key, probe_key, side="right")
+    count = jnp.where(alive, end - start, 0)
+    k = jnp.arange(max_matches, dtype=jnp.int32)
+    pos = start[:, None] + k[None, :]
+    ok = k[None, :] < count[:, None]
+    safe = jnp.clip(pos, 0, sorted_key.shape[0] - 1)
+    rows = jnp.where(ok, order[safe].astype(jnp.int32), -1)
+    return rows, count

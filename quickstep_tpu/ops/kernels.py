@@ -1,0 +1,91 @@
+"""Core vectorized building blocks: masks, compaction, hashing, packing.
+
+These replace the reference's TupleIdSequence/BitVector machinery
+(storage/TupleIdSequence.hpp:44, utility/BitVector.hpp): selection is a bool mask
+aligned with column arrays; compaction is a cumsum-scatter; everything is static-shape
+and jit-traceable so XLA fuses it into the surrounding query stage.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def alive_mask(capacity: int, count) -> jnp.ndarray:
+    """Rows [0, count) of a padded array are live."""
+    return jnp.arange(capacity) < count
+
+
+def compact_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable compaction: returns (dest_idx, count). Dead rows get dest capacity
+    (out-of-range -> dropped by scatter mode='drop')."""
+    capacity = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, pos, capacity)
+    return dest, jnp.sum(mask.astype(jnp.int32))
+
+
+def scatter_compact(col: jnp.ndarray, dest: jnp.ndarray,
+                    capacity: int, fill=0) -> jnp.ndarray:
+    """Scatter col[i] -> out[dest[i]]; dest == capacity drops."""
+    out = jnp.full((capacity,) + col.shape[1:], fill, dtype=col.dtype)
+    return out.at[dest].set(col, mode="drop")
+
+
+def hash64(x: jnp.ndarray) -> jnp.ndarray:
+    """SplitMix64 finalizer — the TPU analog of farmhash in the reference
+    (utility/BloomFilter.hpp uses farmhash; exact function is irrelevant, mixing
+    quality is)."""
+    h = x.astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> 31)
+    return h
+
+
+def hash_combine(hs: List[jnp.ndarray]) -> jnp.ndarray:
+    """Combine per-column hashes (utility/CompositeHash.hpp analog)."""
+    out = hs[0]
+    for h in hs[1:]:
+        out = out ^ (h + jnp.uint64(0x9E3779B97F4A7C15) +
+                     (out << jnp.uint64(6)) + (out >> jnp.uint64(2)))
+    return out
+
+
+def next_pow2(n: int) -> int:
+    n = max(int(n), 1)
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def round_up(n: int, m: int) -> int:
+    return ((int(n) + m - 1) // m) * m
+
+
+_MAX_SENTINELS = {
+    "int32": jnp.iinfo(jnp.int32).max,
+    "int64": jnp.iinfo(jnp.int64).max,
+    "float32": jnp.inf,
+    "float64": jnp.inf,
+    "bool": True,
+}
+_MIN_SENTINELS = {
+    "int32": jnp.iinfo(jnp.int32).min,
+    "int64": jnp.iinfo(jnp.int64).min,
+    "float32": -jnp.inf,
+    "float64": -jnp.inf,
+    "bool": False,
+}
+
+
+def max_sentinel(dtype) -> object:
+    return _MAX_SENTINELS[jnp.dtype(dtype).name]
+
+
+def min_sentinel(dtype) -> object:
+    return _MIN_SENTINELS[jnp.dtype(dtype).name]

