@@ -298,6 +298,15 @@ class Resolver:
         join_edges: List[Tuple[int, int, Expr, Expr]] = []
         residuals: List[Expr] = []
 
+        # Factor conjuncts common to every OR branch (the reference's
+        # disjunctive-predicate handling): turns Q19-style
+        # (p=l AND a1) OR (p=l AND a2) into p=l AND (a1 OR a2), so the equality
+        # becomes a join edge instead of forcing a cross join.
+        expanded: List[Expr] = []
+        for f in filters:
+            expanded.extend(_factor_common_disjuncts(f))
+        filters = expanded
+
         def comp_of(ids: set) -> Optional[int]:
             for i, cid in enumerate(comp_ids):
                 if ids <= cid:
@@ -375,9 +384,11 @@ class Resolver:
         for i in alive[1:]:
             plan = L.Join(left=plan, right=comps[i], kind="cross")
             ids |= comp_ids[i]
+        # Residuals may reference attrs produced by pending subquery joins
+        # (e.g. Q2's "ps_supplycost = <decorrelated min>"), so attach those first.
+        plan = self._attach_pending_joins(plan, state)
         if residuals:
             plan = L.Filter(input=plan, predicate=make_and(residuals))
-        plan = self._attach_pending_joins(plan, state)
         return plan
 
     def _attach_pending_joins(self, plan: L.LogicalNode,
@@ -1083,6 +1094,39 @@ class _CorrelatedSelectResolver:
 # =====================================================================
 # module-level helpers
 # =====================================================================
+
+def _split_disjuncts(e: Expr) -> List[Expr]:
+    if isinstance(e, Logical) and e.op == "OR":
+        out = []
+        for o in e.operands:
+            out.extend(_split_disjuncts(o))
+        return out
+    return [e]
+
+
+def _factor_common_disjuncts(f: Expr) -> List[Expr]:
+    """OR(AND(a, x...), AND(a, y...)) -> [a, OR(AND(x...), AND(y...))]."""
+    if not (isinstance(f, Logical) and f.op == "OR"):
+        return [f]
+    branches = _split_disjuncts(f)
+    if len(branches) < 2:
+        return [f]
+    branch_conjs = [split_conjuncts(b) for b in branches]
+    first_keys = {c.key(): c for c in branch_conjs[0]}
+    common_keys = set(first_keys)
+    for bc in branch_conjs[1:]:
+        common_keys &= {c.key() for c in bc}
+    if not common_keys:
+        return [f]
+    out = [first_keys[k] for k in common_keys]
+    rest_branches = []
+    for bc in branch_conjs:
+        rest = [c for c in bc if c.key() not in common_keys]
+        rest_branches.append(make_and(rest) if rest else
+                             Lit(value=1, type=INT))
+    out.append(Logical(op="OR", operands=rest_branches, type=INT))
+    return out
+
 
 def _ast_conjuncts(e: A.Expr) -> List[A.Expr]:
     if isinstance(e, A.BinaryExpr) and e.op == "AND":
