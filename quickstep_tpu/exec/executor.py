@@ -106,7 +106,8 @@ class Executor:
 
     def _compile_and_run(self, plan, inputs, meta, overrides):
         fp = (_fingerprint(plan),
-              tuple(sorted((k, m["capacity"]) for k, m in meta.items())),
+              tuple(sorted((k, m["capacity"], m["version"])
+                           for k, m in meta.items())),
               tuple(sorted((k, dataclasses.astuple(v))
                            for k, v in overrides.items())))
         out_attrs = plan.output
@@ -216,7 +217,7 @@ class Executor:
             del self._device_cache[k]
         n = rel.data.num_rows
         capacity = self._bucket(n)
-        cols = {"__num_rows__": jnp.asarray(n, jnp.int32)}
+        host_cols = {}
         ranges = {}
         unique_cols = set()
         st = rel.statistics
@@ -228,8 +229,7 @@ class Executor:
             valid = None
             if col.valid is not None:
                 valid = np.pad(np.asarray(col.valid), (0, pad))
-            cols[attr.name] = (jnp.asarray(data),
-                               None if valid is None else jnp.asarray(valid))
+            host_cols[attr.name] = (data, valid)
             if arr.size:
                 lv = arr if col.valid is None else arr[np.asarray(col.valid)]
                 if lv.size and np.issubdtype(arr.dtype, np.integer):
@@ -239,8 +239,12 @@ class Executor:
             if st.exact and st.num_tuples and \
                     st.num_distinct.get(attr.name) == st.num_tuples:
                 unique_cols.add(attr.name)
+        # One batched transfer for the whole table (the tunnel's per-call
+        # latency dominates column-at-a-time device_put)
+        cols = jax.device_put(host_cols)
+        cols["__num_rows__"] = jnp.asarray(n, jnp.int32)
         m = {"capacity": capacity, "ranges": ranges,
-             "unique_cols": unique_cols}
+             "unique_cols": unique_cols, "version": rel.version}
         self._device_cache[key] = (cols, m)
         return cols, m
 
@@ -451,6 +455,10 @@ _EMPTY_STATE = _EmptyState()
 
 # =====================================================================
 # plan fingerprinting (compile-cache key)
+#
+# ExprIds are fresh on every resolve, so fingerprints canonicalize them by
+# first-encounter order — identical SQL over identical schema fingerprints
+# identically across re-resolves and hits the compiled-plan cache.
 # =====================================================================
 
 def _node_exprs(node: L.LogicalNode):
@@ -473,18 +481,28 @@ def _node_exprs(node: L.LogicalNode):
     return out
 
 
-def _fingerprint(node: L.LogicalNode) -> tuple:
+def _fingerprint(node: L.LogicalNode, canon: Optional[dict] = None) -> tuple:
+    if canon is None:
+        canon = {}
+
+    def cid(expr_id: int) -> int:
+        if expr_id not in canon:
+            canon[expr_id] = len(canon)
+        return canon[expr_id]
+
     parts = [type(node).__name__]
     if isinstance(node, L.TableScan):
         parts.append(node.relation_name)
-        parts.append(tuple(a.expr_id for a in node.attrs))
+        parts.append(tuple((a.name, cid(a.expr_id)) for a in node.attrs))
     if isinstance(node, L.Generator):
         parts.append((node.start, node.end, node.step))
+        parts.append(tuple(cid(a.expr_id) for a in node.attrs))
+    if isinstance(node, L.SharedSubplan):
+        parts.append(tuple(cid(a.expr_id) for a in node.attrs))
     if isinstance(node, L.Join):
         parts.append(node.kind)
     if isinstance(node, L.Aggregate):
         parts.append(tuple((s.fn, s.distinct) for s in node.aggregates))
-        parts.append(tuple(a.expr_id for a in node.output))
     if isinstance(node, L.Sort):
         parts.append((tuple(node.ascending), tuple(node.nulls_first),
                       node.limit))
@@ -492,20 +510,56 @@ def _fingerprint(node: L.LogicalNode) -> tuple:
         parts.append(node.limit)
     if isinstance(node, L.SetOperation):
         parts.append(node.kind)
-    if isinstance(node, (L.Project,)):
-        parts.append(tuple(a.expr_id for a in node.attrs))
     for e in _node_exprs(node):
-        parts.append(_expr_fp(e))
+        parts.append(_expr_fp(e, canon, cid))
     for c in node.children():
-        parts.append(_fingerprint(c))
+        parts.append(_fingerprint(c, canon))
+    # output ids last (Aggregate/Project attr ids referenced above)
+    if isinstance(node, (L.Project, L.Aggregate)):
+        parts.append(tuple(cid(a.expr_id) for a in node.output))
     return tuple(parts)
 
 
-def _expr_fp(e) -> tuple:
+def _expr_fp(e, canon: dict, cid) -> tuple:
     from quickstep_tpu.expressions.subquery import SubqueryScalar
+    from quickstep_tpu.expressions import scalar as E
+    if e is None:
+        return ("none",)
+    if isinstance(e, E.Attr):
+        return ("attr", cid(e.expr_id))
     if isinstance(e, SubqueryScalar):
-        return ("subquery", _fingerprint(e.plan))
-    try:
-        return e.key()
-    except Exception:
-        return (type(e).__name__,)
+        return ("subquery", _fingerprint(e.plan, canon))
+    if isinstance(e, E.Lit):
+        return ("lit", e.value, int(e.type.type_id))
+    if isinstance(e, E.Arith):
+        return ("arith", e.op, _expr_fp(e.lhs, canon, cid),
+                _expr_fp(e.rhs, canon, cid))
+    if isinstance(e, E.Cmp):
+        return ("cmp", e.op, _expr_fp(e.lhs, canon, cid),
+                _expr_fp(e.rhs, canon, cid))
+    if isinstance(e, E.Logical):
+        return ("logical", e.op) + tuple(_expr_fp(o, canon, cid)
+                                         for o in e.operands)
+    if isinstance(e, E.Not):
+        return ("not", _expr_fp(e.operand, canon, cid))
+    if isinstance(e, E.IsNull):
+        return ("isnull", e.negated, _expr_fp(e.operand, canon, cid))
+    if isinstance(e, E.Case):
+        return ("case",) + tuple(
+            (_expr_fp(c, canon, cid), _expr_fp(r, canon, cid))
+            for c, r in e.when_clauses) + (
+            _expr_fp(e.else_result, canon, cid),)
+    if isinstance(e, E.Cast):
+        return ("cast", int(e.type.type_id), _expr_fp(e.operand, canon, cid))
+    if isinstance(e, E.ExtractDate):
+        return ("extract", e.field, _expr_fp(e.operand, canon, cid))
+    if isinstance(e, E.InSet):
+        return ("inset", e.values, e.negated, _expr_fp(e.operand, canon, cid))
+    if isinstance(e, E.DictBitmapProbe):
+        bm = np.asarray(e.bitmap)
+        return ("dictbitmap", hash(bm.tobytes()), e.negated,
+                _expr_fp(e.operand, canon, cid))
+    if isinstance(e, E.Substr):
+        rm = np.asarray(e.remap)
+        return ("substr", hash(rm.tobytes()), _expr_fp(e.operand, canon, cid))
+    return (type(e).__name__,)

@@ -200,6 +200,9 @@ class Resolver:
             proj_names = [a.name for a in plan.output]
 
         # ---- ORDER BY / LIMIT ----
+        if stmt.set_ops:
+            # order/limit belong to the whole set operation; applied by the caller
+            return self._make_project(plan, proj_exprs, proj_names)
         if stmt.order_by:
             plan = self._resolve_order_by(stmt, plan, proj_exprs, proj_names,
                                           scope, state)

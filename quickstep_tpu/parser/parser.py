@@ -146,6 +146,13 @@ class _Parser:
             elif op == "union":
                 self.accept_kw("distinct")
             rhs = self.parse_select_body_or_paren()
+            # a trailing ORDER BY/LIMIT parsed into the rhs body actually applies
+            # to the whole set operation (standard SQL)
+            if not rhs.set_ops and (rhs.order_by or rhs.limit is not None):
+                stmt.order_by = rhs.order_by
+                stmt.limit = rhs.limit
+                rhs.order_by = []
+                rhs.limit = None
             stmt.set_ops.append((op, rhs))
         # trailing ORDER BY / LIMIT applying to the whole set operation
         if stmt.set_ops and self.at_kw("order"):
