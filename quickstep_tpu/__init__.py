@@ -5,11 +5,18 @@ A from-scratch JAX/XLA/Pallas design with the capabilities of UWQuickstep/quicks
 columnar operator DAG -> whole-query XLA compilation over a device mesh.
 """
 
+import os
+
 import jax
 
 # The SQL type system needs 64-bit integers (LONG, fixed-point DECIMAL accumulation) and
 # float64 (DOUBLE). TPU emulates both; hot paths use 32-bit dtypes where types allow.
 jax.config.update("jax_enable_x64", True)
+
+# In some environments the platform plugin overrides JAX_PLATFORMS; QSTPU_PLATFORM
+# forces a backend through jax.config (e.g. QSTPU_PLATFORM=cpu for tests/CLI work).
+if os.environ.get("QSTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["QSTPU_PLATFORM"])
 
 __version__ = "0.1.0"
 

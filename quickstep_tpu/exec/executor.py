@@ -478,6 +478,11 @@ def _node_exprs(node: L.LogicalNode):
                 out.append(s.arg)
     elif isinstance(node, L.Sort):
         out.extend(node.keys)
+    elif isinstance(node, L.WindowAggregate):
+        out.extend(node.partition_by)
+        out.extend(node.order_by)
+        if node.spec is not None and node.spec.arg is not None:
+            out.append(node.spec.arg)
     return out
 
 
@@ -510,12 +515,14 @@ def _fingerprint(node: L.LogicalNode, canon: Optional[dict] = None) -> tuple:
         parts.append(node.limit)
     if isinstance(node, L.SetOperation):
         parts.append(node.kind)
+    if isinstance(node, L.WindowAggregate):
+        parts.append((node.spec.fn, tuple(node.order_ascending), node.frame))
     for e in _node_exprs(node):
         parts.append(_expr_fp(e, canon, cid))
     for c in node.children():
         parts.append(_fingerprint(c, canon))
     # output ids last (Aggregate/Project attr ids referenced above)
-    if isinstance(node, (L.Project, L.Aggregate)):
+    if isinstance(node, (L.Project, L.Aggregate, L.WindowAggregate)):
         parts.append(tuple(cid(a.expr_id) for a in node.output))
     return tuple(parts)
 

@@ -782,7 +782,32 @@ class PlanRunner:
         return d, v
 
     def _exec_WindowAggregate(self, node: L.WindowAggregate) -> Chunk:
-        raise ExecutionError("window aggregates not yet implemented")
+        from quickstep_tpu.ops.window import window_aggregate
+        chunk = self.exec(node.input)
+        part = []
+        for e in node.partition_by:
+            d, _ = chunk.broadcast(*self._eval(chunk, e))
+            part.append(d)
+        okeys = []
+        for e in node.order_by:
+            d, _ = chunk.broadcast(*self._eval(chunk, e))
+            okeys.append(d)
+        desc = [not a for a in node.order_ascending]
+        spec = node.spec
+        vals, valid = (None, None)
+        if spec.arg is not None:
+            self._bind_subqueries(spec.arg)
+            vals, valid = chunk.broadcast(*self._eval(chunk, spec.arg))
+            if spec.fn in ("sum", "avg") and spec.arg.type.is_integral:
+                vals = vals.astype(jnp.int64)
+        res, rvalid = window_aggregate(part, okeys, desc, spec.fn, vals, valid,
+                                       chunk.alive, node.frame)
+        slots = dict(chunk.slots)
+        slots[node.out_attr.expr_id] = (
+            res.astype(node.out_attr.type.device_dtype), rvalid)
+        return Chunk(attrs=list(node.output), slots=slots, alive=chunk.alive,
+                     capacity=chunk.capacity, ranges=dict(chunk.ranges),
+                     unique_sets=list(chunk.unique_sets))
 
 
 def _node_expr_list(node: L.LogicalNode):

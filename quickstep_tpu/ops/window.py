@@ -1,0 +1,182 @@
+"""Window aggregation kernels.
+
+TPU-native successor of the reference's window aggregates
+(expressions/window_aggregation/WindowAggregationHandle*, executed sequentially in ONE
+WorkOrder over the whole relation — WindowAggregationOperator.cpp:37-52). Here the
+whole computation is vectorized: sort rows by (partition, order) keys, run a segmented
+prefix scan (associative_scan with segment-reset flags), pick the frame value per row,
+and scatter results back to original row positions. No sequential pass anywhere.
+
+Supported frames:
+- no ORDER BY            -> whole partition (UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING)
+- ORDER BY, no frame     -> RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included)
+- ROWS BETWEEN a PRECEDING|UNBOUNDED AND b FOLLOWING|CURRENT  (sum/count/avg)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quickstep_tpu.ops.kernels import max_sentinel, min_sentinel
+
+
+def _segmented_scan(vals: jnp.ndarray, seg_start: jnp.ndarray, combine):
+    """Inclusive segmented prefix scan: resets at rows where seg_start is True."""
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, combine(av, bv)), af | bf
+    out, _ = jax.lax.associative_scan(op, (vals, seg_start))
+    return out
+
+
+def window_aggregate(
+        part_keys: List[jnp.ndarray],
+        order_keys: List[jnp.ndarray],
+        order_desc: List[bool],
+        fn: str,
+        vals: Optional[jnp.ndarray],
+        valid: Optional[jnp.ndarray],
+        alive: jnp.ndarray,
+        frame: Optional[Tuple[str, Optional[int], Optional[int]]]):
+    """Returns (result array aligned with input rows, result_valid or None).
+
+    frame: None for defaults, else (mode, start, end) where start=None means
+    UNBOUNDED PRECEDING else the preceding offset; end=None means UNBOUNDED
+    FOLLOWING else the following offset (0 = CURRENT ROW). mode: 'rows'|'range'.
+    """
+    n = alive.shape[0]
+    # ---- sort by (aliveness, partition, order) ----
+    okeys = []
+    for k, desc in zip(order_keys, order_desc):
+        okeys.append(jnp.invert(k) if (desc and not jnp.issubdtype(
+            k.dtype, jnp.floating)) else (-k if desc else k))
+    lex = tuple(reversed([*part_keys, *okeys])) + ((~alive).astype(jnp.int8),)
+    order = jnp.lexsort(lex)
+    s_alive = alive[order]
+    idx = jnp.arange(n)
+    seg_start = (idx == 0)
+    for k in part_keys:
+        sk = k[order]
+        seg_start = seg_start | (sk != jnp.roll(sk, 1))
+    seg_start = seg_start | (~s_alive & jnp.roll(s_alive, 1))
+
+    s_vals = vals[order] if vals is not None else jnp.ones(n, jnp.int64)
+    s_valid = valid[order] if valid is not None else None
+    live = s_alive if s_valid is None else (s_alive & s_valid)
+
+    contrib_sum = jnp.where(live, s_vals, jnp.zeros((), s_vals.dtype))
+    contrib_cnt = live.astype(jnp.int64)
+
+    seg_ids = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+
+    if not order_keys and frame is None:
+        # whole-partition aggregate broadcast to every row
+        total = _seg_total(fn, contrib_sum, contrib_cnt, s_vals, live, seg_ids, n)
+        res_sorted, nn_sorted = total
+    elif frame is None or (frame[0] == "range" and frame[1] is None and
+                           frame[2] == 0):
+        # RANGE UNBOUNDED..CURRENT: prefix value at last peer row
+        res_sorted, nn_sorted = _prefix_to_peers(
+            fn, contrib_sum, contrib_cnt, s_vals, live, seg_start, order,
+            order_keys, n)
+    elif frame[0] == "rows":
+        res_sorted, nn_sorted = _rows_frame(
+            fn, contrib_sum, contrib_cnt, s_vals, live, seg_start, seg_ids,
+            frame, n)
+    else:
+        raise NotImplementedError(f"window frame {frame}")
+
+    # ---- scatter back to original positions ----
+    inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    res = res_sorted[inv]
+    nn = nn_sorted[inv] if nn_sorted is not None else None
+    if fn == "count":
+        return res, None
+    return res, (nn > 0) if nn is not None else None
+
+
+def _seg_total(fn, contrib_sum, contrib_cnt, s_vals, live, seg_ids, n):
+    cnts = jax.ops.segment_sum(contrib_cnt, seg_ids, num_segments=n)
+    if fn == "count":
+        return cnts[seg_ids], cnts[seg_ids]
+    if fn in ("sum", "avg"):
+        sums = jax.ops.segment_sum(contrib_sum, seg_ids, num_segments=n)
+        if fn == "sum":
+            return sums[seg_ids], cnts[seg_ids]
+        return (sums[seg_ids].astype(jnp.float64) /
+                jnp.maximum(cnts[seg_ids], 1)), cnts[seg_ids]
+    if fn == "min":
+        c = jnp.where(live, s_vals, max_sentinel(s_vals.dtype))
+        m = jax.ops.segment_min(c, seg_ids, num_segments=n)
+        return m[seg_ids], cnts[seg_ids]
+    c = jnp.where(live, s_vals, min_sentinel(s_vals.dtype))
+    m = jax.ops.segment_max(c, seg_ids, num_segments=n)
+    return m[seg_ids], cnts[seg_ids]
+
+
+def _prefix_to_peers(fn, contrib_sum, contrib_cnt, s_vals, live, seg_start,
+                     order, order_keys, n):
+    idx = jnp.arange(n)
+    # inclusive prefix within segment
+    if fn in ("sum", "avg", "count"):
+        psum = _segmented_scan(contrib_sum, seg_start, jnp.add)
+        pcnt = _segmented_scan(contrib_cnt, seg_start, jnp.add)
+    elif fn == "min":
+        c = jnp.where(live, s_vals, max_sentinel(s_vals.dtype))
+        psum = _segmented_scan(c, seg_start, jnp.minimum)
+        pcnt = _segmented_scan(contrib_cnt, seg_start, jnp.add)
+    else:
+        c = jnp.where(live, s_vals, min_sentinel(s_vals.dtype))
+        psum = _segmented_scan(c, seg_start, jnp.maximum)
+        pcnt = _segmented_scan(contrib_cnt, seg_start, jnp.add)
+    # peer groups: rows with equal (segment, order keys)
+    peer_start = seg_start
+    for k in order_keys:
+        sk = k[order]
+        peer_start = peer_start | (sk != jnp.roll(sk, 1)) | (idx == 0)
+    peer_ids = jnp.cumsum(peer_start.astype(jnp.int32)) - 1
+    # last row index of each peer group
+    last_of_peer = jnp.zeros(n, jnp.int32).at[peer_ids].max(
+        idx.astype(jnp.int32), mode="drop")
+    take = last_of_peer[peer_ids]
+    res = psum[take]
+    cnt = pcnt[take]
+    if fn == "count":
+        return cnt, cnt
+    if fn == "avg":
+        return res.astype(jnp.float64) / jnp.maximum(cnt, 1), cnt
+    return res, cnt
+
+
+def _rows_frame(fn, contrib_sum, contrib_cnt, s_vals, live, seg_start, seg_ids,
+                frame, n):
+    if fn in ("min", "max"):
+        raise NotImplementedError("MIN/MAX with bounded ROWS frames")
+    _, start, end = frame
+    idx = jnp.arange(n)
+    psum = jnp.cumsum(contrib_sum)
+    pcnt = jnp.cumsum(contrib_cnt)
+    seg_first = jnp.full(n, n, jnp.int32).at[seg_ids].min(
+        idx.astype(jnp.int32), mode="drop")[seg_ids]
+    seg_last = jnp.zeros(n, jnp.int32).at[seg_ids].max(
+        idx.astype(jnp.int32), mode="drop")[seg_ids]
+    lo = seg_first if start is None else jnp.maximum(seg_first, idx - start)
+    hi = seg_last if end is None else jnp.minimum(seg_last, idx + end)
+    hi = jnp.maximum(hi, lo - 1)
+
+    def rangesum(p, c):
+        total = p[hi]
+        below = jnp.where(lo > 0, p[jnp.maximum(lo - 1, 0)],
+                          jnp.zeros((), c.dtype))
+        return total - below
+    s = rangesum(psum, contrib_sum)
+    c = rangesum(pcnt, contrib_cnt)
+    if fn == "count":
+        return c, c
+    if fn == "avg":
+        return s.astype(jnp.float64) / jnp.maximum(c, 1), c
+    return s, c

@@ -179,6 +179,10 @@ class Resolver:
 
         select_items = self._expand_stars(stmt.select_list, scope)
 
+        # ---- window aggregates (evaluated over the joined/filtered input) ----
+        plan = self._plan_window_aggregates(stmt, select_items, plan, scope,
+                                            state)
+
         if has_agg:
             plan, proj_exprs, proj_names = self._resolve_aggregate_select(
                 stmt, select_items, plan, scope, state)
@@ -411,6 +415,75 @@ class Resolver:
         state.pending_joins = []
         if post_filters:
             plan = L.Filter(input=plan, predicate=make_and(post_filters))
+        return plan
+
+    # ----------------------------------------------------------------
+    # window aggregates
+    # ----------------------------------------------------------------
+    def _plan_window_aggregates(self, stmt: A.SelectStmt,
+                                select_items: List[A.SelectItem],
+                                plan: L.LogicalNode, scope: Scope,
+                                state: ResolveState) -> L.LogicalNode:
+        calls: List[A.FunctionCall] = []
+
+        def walk(e):
+            if isinstance(e, A.FunctionCall) and e.window is not None:
+                calls.append(e)
+                return
+            if dataclasses.is_dataclass(e):
+                for f in dataclasses.fields(e):
+                    v = getattr(e, f.name)
+                    if isinstance(v, A.Expr):
+                        walk(v)
+                    elif isinstance(v, list):
+                        for item in v:
+                            if isinstance(item, A.Expr):
+                                walk(item)
+                            elif isinstance(item, tuple):
+                                for x in item:
+                                    if isinstance(x, A.Expr):
+                                        walk(x)
+        for it in select_items:
+            walk(it.expr)
+        if not calls:
+            return plan
+        self._window_map = getattr(self, "_window_map", {})
+        named = dict(stmt.windows)
+        for fc in calls:
+            spec = fc.window
+            if spec.name and not spec.partition_by and not spec.order_by:
+                if spec.name not in named:
+                    raise ResolutionError(f"unknown window {spec.name}",
+                                          fc.line, fc.column)
+                spec = named[spec.name]
+            if fc.name not in ("sum", "count", "avg", "min", "max"):
+                raise ResolutionError(
+                    f"unsupported window function {fc.name}", fc.line, fc.column)
+            arg = None
+            if not fc.is_star and fc.args:
+                arg = self._resolve_expr(fc.args[0], scope, state)
+            part = [self._resolve_expr(p, scope, state)
+                    for p in spec.partition_by]
+            okeys = [self._resolve_expr(oi.expr, scope, state)
+                     for oi in spec.order_by]
+            oasc = [oi.ascending for oi in spec.order_by]
+            frame = None
+            if spec.frame is not None:
+                f = spec.frame
+                frame = (f.mode,
+                         None if f.start_unbounded else f.start_offset,
+                         None if f.end_unbounded else f.end_offset)
+            rtype = AggregateSpec.result_type_for(fc.name, arg)
+            attr = OutAttr(next_expr_id(), f"w_{fc.name}", rtype,
+                           _expr_dictionary(arg) if fc.name in ("min", "max")
+                           else None)
+            plan = L.WindowAggregate(
+                input=plan,
+                spec=AggregateSpec(fn=fc.name, arg=arg, distinct=fc.distinct,
+                                   result_type=rtype),
+                partition_by=part, order_by=okeys, order_ascending=oasc,
+                frame=frame, out_attr=attr)
+            self._window_map[id(fc)] = attr
         return plan
 
     # ----------------------------------------------------------------
@@ -738,7 +811,13 @@ class Resolver:
         if isinstance(e, A.ScalarSubqueryExpr):
             return self._resolve_scalar_subquery(e, scope, state)
         if isinstance(e, A.FunctionCall):
-            if e.name in ("sum", "count", "avg", "min", "max") and e.window is None:
+            if e.window is not None:
+                attr = getattr(self, "_window_map", {}).get(id(e))
+                if attr is not None:
+                    return _attr_of(attr)
+                raise ResolutionError("window function not allowed here",
+                                      e.line, e.column)
+            if e.name in ("sum", "count", "avg", "min", "max"):
                 raise ResolutionError(
                     f"aggregate {e.name} not allowed here", e.line, e.column)
             raise ResolutionError(f"unknown function {e.name}", e.line, e.column)

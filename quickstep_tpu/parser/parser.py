@@ -845,8 +845,9 @@ def parse_statements(text: str) -> List[A.Statement]:
     while p.peek().kind != "eof":
         if p.accept_op(";"):
             continue
-        stmts.append(p.parse_statement())
-        if p.peek().kind != "eof":
+        stmt = p.parse_statement()
+        stmts.append(stmt)
+        if p.peek().kind != "eof" and not isinstance(stmt, A.CommandStmt):
             if not p.accept_op(";") and p.peek().kind != "command":
                 raise p.err("expected ';'")
     return stmts
