@@ -441,6 +441,18 @@ class Executor:
             for t in targets:
                 self._rel(t).analyze()
             return QueryResult([], [], [], message="Analyzed.")
+        if cmd in ("\\explain", "\\viz", "\\explain_analyze"):
+            # plan tree + DOT (+ per-operator timing for \explain_analyze) —
+            # visualize_plan / visualize_execution_dag flag analogs
+            from quickstep_tpu.utils.visualize import explain
+            from quickstep_tpu.database import Database
+            sql = " ".join(stmt.args).rstrip(";")
+            shim = Database.__new__(Database)
+            shim.catalog = self.catalog
+            shim.config = self.config
+            shim._executor = self
+            text = explain(shim, sql, analyze=cmd == "\\explain_analyze")
+            return QueryResult([], [], [], message=text)
         raise ExecutionError(f"unknown command {cmd}")
 
 

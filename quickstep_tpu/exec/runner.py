@@ -441,6 +441,22 @@ class PlanRunner:
             d, _ = build.broadcast(d, v)
             bk_data.append(d)
 
+        # FilterJoin strength reduction (InjectJoinFilters analog): semi/anti
+        # joins over a single ranged integer key need only an exact bit-vector
+        # LIP filter — no hash table, no row indices.
+        if node.kind in ("semi", "anti") and node.residual is None and \
+                len(bk_data) == 1 and self.config.use_filter_joins:
+            r = self._key_ranges(node.right_keys, build)[0]
+            if r is not None and (r[1] - r[0] + 1) <= \
+                    self.config.collision_free_domain_limit:
+                from quickstep_tpu.ops import bloom as B
+                lo, domain = r[0], r[1] - r[0] + 1
+                bits = B.exact_filter_build(bk_data[0], build.alive, lo, domain)
+                matched = B.exact_filter_probe(bits, pk_data[0], probe.alive, lo)
+                if node.kind == "anti":
+                    matched = probe.alive & ~matched
+                return dataclasses.replace(probe, alive=probe.alive & matched)
+
         build_key_ids = [e.expr_id for e in node.right_keys
                          if isinstance(e, Attr)]
         build_unique = (len(build_key_ids) == len(node.right_keys)) and \
