@@ -25,9 +25,15 @@ def main():
     from quickstep_tpu import Database
     from quickstep_tpu.bench.tpch import TPCH_QUERIES, load_tpch
 
-    db = Database()
     t0 = time.perf_counter()
-    load_tpch(db, scale=sf, seed=0)
+    cache_dir = os.environ.get("BENCH_CACHE", f"data/tpch_sf{sf}")
+    if os.path.exists(os.path.join(cache_dir, "catalog.json")):
+        db = Database(storage_path=cache_dir)
+    else:
+        db = Database()
+        load_tpch(db, scale=sf, seed=0)
+        db.config.storage_path = cache_dir
+        db.save()
     load_s = time.perf_counter() - t0
     lrows = db.catalog.default_database.get_relation("lineitem").num_tuples
 

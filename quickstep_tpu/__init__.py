@@ -18,6 +18,14 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("QSTPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["QSTPU_PLATFORM"])
 
+# Persistent XLA compilation cache: TPU sort/scan compiles are tens of seconds;
+# caching them makes query compilation a one-time cost across processes.
+_cache_dir = os.environ.get("QSTPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/qstpu_xla"))
+if _cache_dir and _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"
 
 from quickstep_tpu.database import Database  # noqa: E402,F401

@@ -92,17 +92,43 @@ class Executor:
 
     def run_plan(self, plan: L.LogicalNode):
         """Execute a logical plan; returns (rows, names, types)."""
-        inputs, meta = self._collect_inputs(plan)
+        # Peel a root-level presentation Sort off the device plan: the result is
+        # materialized to the host anyway, and encoded column values (dict codes,
+        # packed dates) are order-preserving, so a stable numpy lexsort on the
+        # host is exact — and avoids XLA:TPU's extremely expensive sort compiles
+        # for every ad-hoc query shape.
+        from quickstep_tpu.expressions.scalar import Attr as _Attr
+        host_sort: Optional[L.Sort] = None
+        device_plan = plan
+        if isinstance(device_plan, L.Project) and \
+                isinstance(device_plan.input, L.Sort) and \
+                all(isinstance(e, _Attr) for e in device_plan.exprs):
+            # trim-Project over Sort (hidden sort keys below)
+            host_sort = device_plan.input
+            final_attrs = device_plan.attrs
+            trim_ids = [e.expr_id for e in device_plan.exprs]
+            device_plan = device_plan.input.input
+        elif isinstance(device_plan, L.Sort):
+            host_sort = device_plan
+            final_attrs = list(device_plan.output)
+            trim_ids = [a.expr_id for a in final_attrs]
+            device_plan = device_plan.input
+
+        inputs, meta = self._collect_inputs(device_plan)
         overrides: Dict[int, JoinOverride] = {}
         for _attempt in range(8):
             outs, flags, out_attrs = self._compile_and_run(
-                plan, inputs, meta, overrides)
-            retry = self._check_flags(plan, flags, overrides)
+                device_plan, inputs, meta, overrides)
+            retry = self._check_flags(device_plan, flags, overrides)
             if not retry:
                 break
         else:
             raise ExecutionError("join fallback did not converge")
-        return self._materialize(outs, out_attrs)
+
+        if host_sort is None:
+            return self._materialize(outs, out_attrs)
+        return self._materialize_sorted(outs, out_attrs, host_sort,
+                                        final_attrs, trim_ids)
 
     def _compile_and_run(self, plan, inputs, meta, overrides):
         fp = (_fingerprint(plan),
@@ -142,6 +168,8 @@ class Executor:
         install overrides and request a retry when needed — the kOutOfSpace
         retry loop analog."""
         retry = False
+        if flags:
+            flags = jax.device_get(flags)  # one batched pull for all flags
         for key, val in flags.items():
             if not bool(val):
                 continue
@@ -158,15 +186,79 @@ class Executor:
                 retry = True
         return retry
 
-    def _materialize(self, outs, out_attrs):
+    def _materialize_sorted(self, outs, out_attrs, sort_node: L.Sort,
+                            final_attrs, trim_ids):
+        """Host-side presentation sort: stable numpy lexsort on encoded values
+        (order-preserving), NULLS FIRST/LAST semantics, then limit + trim."""
+        datas, valids, n = self._pull_outputs(outs)
+        by_id = {a.expr_id: (a, d, v)
+                 for a, d, v in zip(out_attrs, datas, valids)}
+        sort_cols = []
+        for key, asc, nf in zip(sort_node.keys, sort_node.ascending,
+                                sort_node.nulls_first):
+            # _resolve_order_by guarantees keys are Attr refs into the pre-sort
+            # projection (hidden keys included)
+            a, d, v = by_id[key.expr_id]
+            col = d.copy()
+            if not asc:
+                if np.issubdtype(col.dtype, np.floating):
+                    col = -col
+                else:
+                    col = ~col
+            if v is not None:
+                first = nf if nf is not None else (not asc)
+                if np.issubdtype(col.dtype, np.floating):
+                    sentinel = -np.inf if first else np.inf
+                else:
+                    info = np.iinfo(col.dtype)
+                    sentinel = info.min if first else info.max
+                col = np.where(v, col, sentinel)
+            sort_cols.append(col)
+        if sort_cols:
+            order = np.lexsort(tuple(reversed(sort_cols)))
+        else:
+            order = np.arange(n)
+        if sort_node.limit is not None:
+            order = order[:sort_node.limit]
+        names = [a.name for a in final_attrs]
+        types = [a.type for a in final_attrs]
+        cols = []
+        for fa, tid in zip(final_attrs, trim_ids):
+            a, d, v = by_id[tid]
+            arr = d[order]
+            va = None if v is None else v[order]
+            if fa.dictionary is not None:
+                vals = fa.dictionary.decode(arr)
+            else:
+                vals = [_decode_scalar(fa.type, x) for x in arr]
+            if va is not None:
+                vals = [x if ok else None for x, ok in zip(vals, va)]
+            cols.append(vals)
+        rows = list(zip(*cols)) if cols else []
+        return rows, names, types
+
+    def _pull_outputs(self, outs):
+        """Device->host with ONE batched transfer of a live-row prefix (per-array
+        D2H round-trips dominate on high-latency links; padded tails are dead)."""
         datas, valids, count = outs
         n = int(count)
+        capacity = int(jnp.shape(datas[0])[0]) if datas else 0
+        m = min(capacity, K.next_pow2(max(n, 8)))
+        sliced_d = [d[:m] for d in datas]
+        sliced_v = [None if v is None else v[:m] for v in valids]
+        host_d, host_v = jax.device_get((sliced_d, sliced_v))
+        host_d = [np.asarray(d)[:n] for d in host_d]
+        host_v = [None if v is None else np.asarray(v)[:n] for v in host_v]
+        return host_d, host_v, n
+
+    def _materialize(self, outs, out_attrs):
+        datas, valids, n = self._pull_outputs(outs)
         names = [a.name for a in out_attrs]
         types = [a.type for a in out_attrs]
         cols = []
         for a, d, v in zip(out_attrs, datas, valids):
-            arr = np.asarray(d)[:n]
-            va = None if v is None else np.asarray(v)[:n]
+            arr = d
+            va = v
             if a.dictionary is not None:
                 vals = a.dictionary.decode(arr)
             else:

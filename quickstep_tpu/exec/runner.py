@@ -252,7 +252,8 @@ class PlanRunner:
         if use_dense:
             return self._dense_aggregate(node, chunk, key_data, key_ranges,
                                          agg_inputs)
-        return self._sort_aggregate(node, chunk, key_data, key_valid, agg_inputs)
+        return self._sort_aggregate(node, chunk, key_data, key_valid,
+                                    agg_inputs, key_ranges=key_ranges)
 
     def _dense_ok(self, key_ranges, key_valid) -> bool:
         if self.config.aggregate_hashtable_type == "sort":
@@ -297,9 +298,51 @@ class PlanRunner:
         return Chunk(attrs=list(node.output), slots=slots, alive=occupied,
                      capacity=domain, ranges=ranges, unique_sets=uniq)
 
-    def _sort_aggregate(self, node, chunk, key_data, key_valid, agg_inputs):
+    def _pack_sort_key(self, key_data, key_valid, key_ranges,
+                       descending=None, nulls_first=None):
+        """Pack integer composite keys into one int32/int64 sort key when ranges
+        fit (TPU sort compile/run cost scales with operand count and width).
+        Returns None when not packable (unknown range / float keys)."""
+        spans = []
+        for d, r in zip(key_data, key_ranges):
+            if r is None or jnp.issubdtype(jnp.asarray(d).dtype, jnp.floating):
+                return None
+            spans.append(r[1] - r[0] + 2)  # +1 slot for NULL
+        total = 1
+        for s in spans:
+            total *= s
+        if total >= 2**62:
+            return None
+        packed = jnp.zeros(key_data[0].shape, jnp.int64)
+        for i, (d, v, r, span) in enumerate(
+                zip(key_data, key_valid, key_ranges, spans)):
+            lo, hi = r
+            enc = d.astype(jnp.int64) - lo
+            if descending is not None and descending[i]:
+                enc = (hi - lo) - enc
+            if v is not None:
+                nf = nulls_first[i] if nulls_first is not None else None
+                if descending is not None:
+                    # SQL default: NULLS LAST for ASC, FIRST for DESC
+                    first = nf if nf is not None else descending[i]
+                else:
+                    first = False  # group-by: nulls group last (sentinel analog)
+                if first:
+                    enc = jnp.where(v, enc + 1, 0)
+                else:
+                    enc = jnp.where(v, enc, span - 1)
+            packed = packed * span + enc
+        if total < 2**31:
+            packed = packed.astype(jnp.int32)
+        return packed
+
+    def _sort_aggregate(self, node, chunk, key_data, key_valid, agg_inputs,
+                        key_ranges=None):
+        packed = None
+        if key_ranges is not None:
+            packed = self._pack_sort_key(key_data, key_valid, key_ranges)
         out_keys, out_valids, n_groups, results = G.sort_groupby(
-            key_data, key_valid, agg_inputs, chunk.alive)
+            key_data, key_valid, agg_inputs, chunk.alive, packed_key=packed)
         capacity = chunk.capacity
         slots = {}
         ranges = {}
@@ -695,8 +738,20 @@ class PlanRunner:
             d, v = chunk.broadcast(d, v)
             keys.append(d)
             valids.append(v)
-        order = S.order_permutation(keys, valids, node.ascending,
-                                    node.nulls_first, chunk.alive)
+        key_ranges = [infer_range(e, chunk.ranges) for e in node.keys]
+        descending = [not a for a in node.ascending]
+        packed = self._pack_sort_key(keys, valids, key_ranges,
+                                     descending=descending,
+                                     nulls_first=node.nulls_first)
+        if packed is not None:
+            # dead rows to the end: aliveness as most-significant bit
+            big = jnp.asarray(
+                1 << 62 if packed.dtype == jnp.int64 else 1 << 30,
+                packed.dtype)
+            order = jnp.argsort(jnp.where(chunk.alive, packed, big))
+        else:
+            order = S.order_permutation(keys, valids, node.ascending,
+                                        node.nulls_first, chunk.alive)
         slots = {}
         for a in chunk.attrs:
             d, v = chunk.slots[a.expr_id]
@@ -727,8 +782,10 @@ class PlanRunner:
             d, v = chunk.broadcast(d, v)
             key_data.append(d)
             key_valid.append(v)
+        key_ranges = [chunk.ranges.get(a.expr_id) for a in chunk.attrs]
+        packed = self._pack_sort_key(key_data, key_valid, key_ranges)
         out_keys, out_valids, n_groups, _ = G.sort_groupby(
-            key_data, key_valid, [], chunk.alive)
+            key_data, key_valid, [], chunk.alive, packed_key=packed)
         slots = {}
         for a, kd, kv in zip(chunk.attrs, out_keys, out_valids):
             slots[a.expr_id] = (kd.astype(a.type.device_dtype), kv)

@@ -43,12 +43,14 @@ from quickstep_tpu.ops.kernels import hash64, hash_combine, next_pow2
 def direct_build(key: jnp.ndarray, alive: jnp.ndarray, lo: int, domain: int):
     """Returns (table[domain] of build row idx or -1, dup flag)."""
     idx = key.astype(jnp.int64) - lo
-    idx = jnp.where(alive & (idx >= 0) & (idx < domain), idx, domain)
+    in_dom = alive & (idx >= 0) & (idx < domain)
+    idx = jnp.where(in_dom, idx, domain)
     rows = jnp.arange(key.shape[0], dtype=jnp.int32)
     table = jnp.full((domain,), -1, jnp.int32).at[idx].set(rows, mode="drop")
-    occ = jnp.zeros((domain,), jnp.int32).at[idx].add(
-        jnp.ones_like(rows), mode="drop")
-    dup = jnp.any(occ > 1)
+    # duplicate detection without a colliding scatter: a row that lost its slot
+    # reads back a different winner
+    read_back = table[jnp.clip(idx, 0, domain - 1)]
+    dup = jnp.any(in_dom & (read_back != rows))
     return table, dup
 
 

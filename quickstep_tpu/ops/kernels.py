@@ -30,9 +30,11 @@ def compact_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def scatter_compact(col: jnp.ndarray, dest: jnp.ndarray,
                     capacity: int, fill=0) -> jnp.ndarray:
-    """Scatter col[i] -> out[dest[i]]; dest == capacity drops."""
+    """Scatter col[i] -> out[dest[i]]; dest == capacity drops. Compaction
+    destinations are unique by construction — declare it so XLA takes the
+    parallel scatter path on TPU."""
     out = jnp.full((capacity,) + col.shape[1:], fill, dtype=col.dtype)
-    return out.at[dest].set(col, mode="drop")
+    return out.at[dest].set(col, mode="drop", unique_indices=True)
 
 
 def hash64(x: jnp.ndarray) -> jnp.ndarray:

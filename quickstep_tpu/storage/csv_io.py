@@ -28,7 +28,14 @@ from quickstep_tpu.storage.table import TableData
 def load_csv(path: str, schema: List[tuple], delimiter: str = "|",
              header: bool = False) -> TableData:
     """schema: [(name, Type)]. Accepts trailing delimiter lines (dbgen .tbl style).
-    Empty field or \\N -> NULL (only allowed for nullable columns)."""
+    Empty field or \\N -> NULL (only allowed for nullable columns).
+
+    Uses the native parallel scanner (native/csv_scanner.cpp) when available;
+    falls back to the pure-Python parser (also used for header/odd formats)."""
+    if not header and len(delimiter) == 1:
+        native = _try_native(path, schema, delimiter)
+        if native is not None:
+            return native
     ncols = len(schema)
     raw_cols: List[List[str]] = [[] for _ in range(ncols)]
     with open(path, "r", newline="") as f:
@@ -51,6 +58,36 @@ def load_csv(path: str, schema: List[tuple], delimiter: str = "|",
     cols = {}
     for (name, typ), raw in zip(schema, raw_cols):
         cols[name] = _parse_column(typ, raw)
+    return TableData(cols)
+
+
+def _try_native(path: str, schema: List[tuple], delimiter: str):
+    try:
+        from quickstep_tpu.storage.native_io import parse_csv_native
+        res = parse_csv_native(path, schema, delimiter)
+    except Exception:
+        return None
+    if res is None:
+        return None
+    parsed, nrows = res
+    cols = {}
+    for name, typ in schema:
+        vals, null_mask = parsed[name]
+        has_null = bool(null_mask.any())
+        valid = ~null_mask if has_null else None
+        if typ.is_string:
+            d, codes = Dictionary.build(vals)
+            cols[name] = Column(typ, codes, valid, d)
+        elif typ.type_id == TypeID.DATETIME:
+            import numpy as _np
+            data = _np.asarray(
+                [parse_datetime_literal(v) if v else 0 for v in vals],
+                dtype=_np.int64)
+            cols[name] = Column(typ, data, valid, None)
+        else:
+            # dbgen .tbl trailing delimiter yields a phantom empty last field
+            # only in the python path; native parser indexes real columns
+            cols[name] = Column(typ, vals, valid, None)
     return TableData(cols)
 
 
