@@ -27,6 +27,11 @@ class Chunk:
     ranges: Dict[int, Optional[Tuple[int, int]]] = dataclasses.field(
         default_factory=dict)
     unique_sets: List[frozenset] = dataclasses.field(default_factory=list)
+    # row-wise functional dependencies (determinant ids -> dependent ids):
+    # within any single row, the determinant values fix the dependents. Feeds
+    # the ReduceGroupByAttributes optimization (sort by a minimal key cover).
+    fds: List[Tuple[frozenset, frozenset]] = dataclasses.field(
+        default_factory=list)
 
     def ctx(self, extra: Optional[dict] = None) -> EvalContext:
         slots = dict(self.slots)
@@ -51,3 +56,14 @@ class Chunk:
     def is_unique(self, ids: List[int]) -> bool:
         s = frozenset(ids)
         return any(u <= s for u in self.unique_sets)
+
+    def fd_closure(self, ids: set) -> set:
+        out = set(ids)
+        changed = True
+        while changed:
+            changed = False
+            for det, dep in self.fds:
+                if det <= out and not dep <= out:
+                    out |= dep
+                    changed = True
+        return out

@@ -46,6 +46,11 @@ class Executor:
         self._device_cache: Dict[Tuple[str, int], Tuple[dict, dict]] = {}
         self._compile_cache: Dict[tuple, object] = {}
         self.last_profile: Optional[dict] = None
+        self.mesh = None
+        if config.distributed:
+            from quickstep_tpu.parallel.mesh import make_mesh
+            if len(jax.devices()) > 1:
+                self.mesh = make_mesh(axis=config.default_mesh_axis)
 
     @property
     def db(self):
@@ -333,8 +338,21 @@ class Executor:
                 unique_cols.add(attr.name)
         # One batched transfer for the whole table (the tunnel's per-call
         # latency dominates column-at-a-time device_put)
-        cols = jax.device_put(host_cols)
-        cols["__num_rows__"] = jnp.asarray(n, jnp.int32)
+        if self.mesh is not None:
+            # Distributed placement (GSPMD): big tables row-sharded over the
+            # mesh, small tables replicated (broadcast-join layout). XLA's SPMD
+            # partitioner then inserts the collectives at pipeline breakers —
+            # the ForemanDistributed/Shiftboss routing analog (SURVEY.md §2.15).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self.config.default_mesh_axis
+            spec = P(axis) if n >= self.config.replicate_threshold_rows else P()
+            sharding = NamedSharding(self.mesh, spec)
+            cols = jax.device_put(host_cols, sharding)
+            cols["__num_rows__"] = jax.device_put(
+                jnp.asarray(n, jnp.int32), NamedSharding(self.mesh, P()))
+        else:
+            cols = jax.device_put(host_cols)
+            cols["__num_rows__"] = jnp.asarray(n, jnp.int32)
         m = {"capacity": capacity, "ranges": ranges,
              "unique_cols": unique_cols, "version": rel.version}
         self._device_cache[key] = (cols, m)
@@ -343,10 +361,14 @@ class Executor:
     def _bucket(self, n: int) -> int:
         b = self.config.row_capacity_bucket
         if n <= b:
-            return b
-        if self.config.geometric_buckets:
-            return K.next_pow2(n)
-        return K.round_up(n, b)
+            cap = b
+        elif self.config.geometric_buckets:
+            cap = K.next_pow2(n)
+        else:
+            cap = K.round_up(n, b)
+        if self.mesh is not None:
+            cap = K.round_up(cap, int(self.mesh.devices.size))
+        return cap
 
     # ================================================================
     # DDL

@@ -114,8 +114,11 @@ class PlanRunner:
             if a.name in meta.get("unique_cols", ()):
                 unique_sets.append(frozenset([a.expr_id]))
         alive = K.alive_mask(capacity, cols["__num_rows__"])
+        all_ids = frozenset(a.expr_id for a in node.attrs)
+        fds = [(u, all_ids) for u in unique_sets]
         chunk = Chunk(attrs=list(node.attrs), slots=slots, alive=alive,
-                      capacity=capacity, ranges=ranges, unique_sets=unique_sets)
+                      capacity=capacity, ranges=ranges, unique_sets=unique_sets,
+                      fds=fds)
         if node.sample_kind:
             # TUPLESAMPLE/BLOCKSAMPLE n PERCENT (reference SampleOperator.hpp:60).
             # Deterministic hash-based Bernoulli sample on the row index.
@@ -147,8 +150,12 @@ class PlanRunner:
         uniq = [frozenset(remap[i] for i in s if i in remap)
                 for s in inner.unique_sets
                 if all(i in remap for i in s)]
+        fds = [(frozenset(remap[i] for i in det),
+                frozenset(remap[i] for i in dep if i in remap))
+               for det, dep in inner.fds if all(i in remap for i in det)]
         return Chunk(attrs=list(node.attrs), slots=slots, alive=inner.alive,
-                     capacity=inner.capacity, ranges=ranges, unique_sets=uniq)
+                     capacity=inner.capacity, ranges=ranges, unique_sets=uniq,
+                     fds=fds)
 
     # ----------------------------------------------------------------
     # filter / project
@@ -180,13 +187,17 @@ class PlanRunner:
             d, v = chunk.broadcast(jnp.asarray(d, dtype=a.type.device_dtype), v)
             slots[a.expr_id] = (d, v)
             ranges[a.expr_id] = infer_range(e, chunk.ranges)
-        # uniqueness survives for pass-through attrs
+        # uniqueness/FDs survive for pass-through attrs
         passthru = {e.expr_id: a.expr_id for e, a in zip(node.exprs, node.attrs)
                     if isinstance(e, Attr)}
         uniq = [frozenset(passthru[i] for i in s)
                 for s in chunk.unique_sets if all(i in passthru for i in s)]
+        fds = [(frozenset(passthru[i] for i in det),
+                frozenset(passthru[i] for i in dep if i in passthru))
+               for det, dep in chunk.fds if all(i in passthru for i in det)]
         return Chunk(attrs=list(node.attrs), slots=slots, alive=chunk.alive,
-                     capacity=chunk.capacity, ranges=ranges, unique_sets=uniq)
+                     capacity=chunk.capacity, ranges=ranges, unique_sets=uniq,
+                     fds=fds)
 
     def _bind_subqueries(self, e: Expr):
         """Pre-execute uncorrelated scalar subqueries referenced by e."""
@@ -295,8 +306,9 @@ class PlanRunner:
             ranges[a.expr_id] = r
         self._fill_agg_slots(node, results, slots, domain)
         uniq = [frozenset(a.expr_id for a in node.group_attrs)]
+        fds = [(uniq[0], frozenset(a.expr_id for a in node.output))]
         return Chunk(attrs=list(node.output), slots=slots, alive=occupied,
-                     capacity=domain, ranges=ranges, unique_sets=uniq)
+                     capacity=domain, ranges=ranges, unique_sets=uniq, fds=fds)
 
     def _pack_sort_key(self, key_data, key_valid, key_ranges,
                        descending=None, nulls_first=None):
@@ -336,13 +348,35 @@ class PlanRunner:
             packed = packed.astype(jnp.int32)
         return packed
 
+    def _reduce_group_keys(self, group_by, chunk: Chunk) -> List[int]:
+        """Minimal sort-key cover: drop group keys functionally determined by
+        the remaining ones (reference ReduceGroupByAttributes rule)."""
+        ids = [e.expr_id if isinstance(e, Attr) else None for e in group_by]
+        keep = list(range(len(group_by)))
+        changed = True
+        while changed:
+            changed = False
+            for i in list(keep):
+                if ids[i] is None:
+                    continue
+                others = {ids[j] for j in keep if j != i and ids[j] is not None}
+                if ids[i] in chunk.fd_closure(others):
+                    keep.remove(i)
+                    changed = True
+        return keep
+
     def _sort_aggregate(self, node, chunk, key_data, key_valid, agg_inputs,
                         key_ranges=None):
+        subset = self._reduce_group_keys(node.group_by, chunk)
         packed = None
         if key_ranges is not None:
-            packed = self._pack_sort_key(key_data, key_valid, key_ranges)
+            packed = self._pack_sort_key(
+                [key_data[i] for i in subset],
+                [key_valid[i] for i in subset],
+                [key_ranges[i] for i in subset])
         out_keys, out_valids, n_groups, results = G.sort_groupby(
-            key_data, key_valid, agg_inputs, chunk.alive, packed_key=packed)
+            key_data, key_valid, agg_inputs, chunk.alive, packed_key=packed,
+            sort_subset=subset)
         capacity = chunk.capacity
         slots = {}
         ranges = {}
@@ -352,9 +386,10 @@ class PlanRunner:
             ranges[a.expr_id] = infer_range(ge, chunk.ranges)
         self._fill_agg_slots(node, results, slots, capacity)
         uniq = [frozenset(a.expr_id for a in node.group_attrs)]
+        fds = [(uniq[0], frozenset(a.expr_id for a in node.output))]
         return Chunk(attrs=list(node.output), slots=slots,
                      alive=K.alive_mask(capacity, n_groups), capacity=capacity,
-                     ranges=ranges, unique_sets=uniq)
+                     ranges=ranges, unique_sets=uniq, fds=fds)
 
     def _fill_agg_slots(self, node, results, slots, capacity):
         for spec, a, (data, nn) in zip(node.aggregates, node.agg_attrs, results):
@@ -568,9 +603,22 @@ class PlanRunner:
             slots[a.expr_id] = (gd, gv)
             ranges_out[a.expr_id] = build.ranges.get(a.expr_id)
         alive = probe.alive if node.kind == "left" else (probe.alive & matched)
+        # FDs: both sides' row-wise FDs survive; the probe-side join keys
+        # determine the matched build row (unique build), hence all build attrs;
+        # joined key pairs determine each other (equal values).
+        fds = list(probe.fds) + list(build.fds)
+        probe_key_ids = frozenset(
+            e.expr_id for e in node.left_keys if isinstance(e, Attr))
+        build_key_ids = frozenset(
+            e.expr_id for e in node.right_keys if isinstance(e, Attr))
+        if len(probe_key_ids) == len(node.left_keys):
+            fds.append((probe_key_ids,
+                        frozenset(a.expr_id for a in build.attrs)))
+            if len(build_key_ids) == len(node.right_keys):
+                fds.append((build_key_ids, probe_key_ids))
         out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
                     capacity=probe.capacity, ranges=ranges_out,
-                    unique_sets=list(probe.unique_sets))
+                    unique_sets=list(probe.unique_sets), fds=fds)
         if node.residual is not None:
             if node.kind == "left":
                 # residual participates in the match, not as a post-filter
@@ -639,7 +687,8 @@ class PlanRunner:
                     ranges={**{a.expr_id: probe.ranges.get(a.expr_id)
                                for a in probe.attrs},
                             **{a.expr_id: build.ranges.get(a.expr_id)
-                               for a in build.attrs}})
+                               for a in build.attrs}},
+                    fds=list(probe.fds) + list(build.fds))
         if node.residual is not None:
             passed = self._eval_pred(out, node.residual)
             out.alive = out.alive & passed
@@ -880,7 +929,7 @@ class PlanRunner:
             res.astype(node.out_attr.type.device_dtype), rvalid)
         return Chunk(attrs=list(node.output), slots=slots, alive=chunk.alive,
                      capacity=chunk.capacity, ranges=dict(chunk.ranges),
-                     unique_sets=list(chunk.unique_sets))
+                     unique_sets=list(chunk.unique_sets), fds=list(chunk.fds))
 
 
 def _node_expr_list(node: L.LogicalNode):

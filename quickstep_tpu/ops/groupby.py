@@ -139,7 +139,8 @@ def sort_groupby(key_cols: List[jnp.ndarray],
                  key_valids: List[Optional[jnp.ndarray]],
                  agg_specs: List[AggIn],
                  alive: jnp.ndarray,
-                 packed_key: Optional[jnp.ndarray] = None):
+                 packed_key: Optional[jnp.ndarray] = None,
+                 sort_subset: Optional[List[int]] = None):
     """Sort-based group-by, scatter-collision-free.
 
     TPU-shaped: after the lexsort, every segment is a contiguous run, so sums
@@ -157,8 +158,14 @@ def sort_groupby(key_cols: List[jnp.ndarray],
         # single-operand sort (TPU sort compile time scales badly with operands)
         sort_keys = [packed_key]
     else:
+        # sort_subset: a minimal key cover (ReduceGroupByAttributes analog) —
+        # functionally-dependent keys need not participate in the sort; their
+        # values are gathered from each segment's first row like any other key.
+        subset = sort_subset if sort_subset is not None \
+            else range(len(key_cols))
         sort_keys = []
-        for col, valid in zip(key_cols, key_valids):
+        for i in subset:
+            col, valid = key_cols[i], key_valids[i]
             k = col
             if valid is not None:
                 # NULL group keys group together at the max sentinel
