@@ -22,6 +22,8 @@ class Database:
             if storage_path else Catalog()
         # Executor is constructed lazily to keep import cost low.
         self._executor = None
+        if self.config.preload_buffer_pool:
+            self.executor.preload()
 
     @property
     def executor(self):

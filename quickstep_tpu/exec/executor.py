@@ -47,10 +47,44 @@ class Executor:
         self._compile_cache: Dict[tuple, object] = {}
         self.last_profile: Optional[dict] = None
         self.mesh = None
+        self._device_lru: Dict[tuple, int] = {}
+        self._lru_tick = 0
         if config.distributed:
             from quickstep_tpu.parallel.mesh import make_mesh
             if len(jax.devices()) > 1:
                 self.mesh = make_mesh(axis=config.default_mesh_axis)
+
+    def _table_bytes(self, rel: CatalogRelation) -> int:
+        total = 0
+        for c in rel.data.columns.values():
+            total += np.asarray(c.data).nbytes
+            if c.valid is not None:
+                total += np.asarray(c.valid).nbytes
+        return total
+
+    def _evict_for(self, incoming: CatalogRelation) -> None:
+        """HBM buffer management (StorageManager::makeRoomForBlock +
+        EvictionPolicy LRU analog): keep resident device tables under the
+        budget by dropping least-recently-used ones (re-faulted on next use)."""
+        budget = self.config.hbm_budget_bytes
+        if not budget:
+            return
+        need = self._table_bytes(incoming)
+        resident = {}
+        for (name, ver) in self._device_cache:
+            rel = self.db.get_relation(name)
+            resident[(name, ver)] = self._table_bytes(rel) if rel else 0
+        while resident and sum(resident.values()) + need > budget:
+            victim = min(resident, key=lambda k: self._device_lru.get(k, 0))
+            del self._device_cache[victim]
+            self._device_lru.pop(victim, None)
+            del resident[victim]
+
+    def preload(self) -> None:
+        """Warm the device cache for every relation (PreloaderThread analog,
+        flag preload_buffer_pool)."""
+        for rel in self.db.relations.values():
+            self._device_table(rel)
 
     @property
     def db(self):
@@ -308,10 +342,13 @@ class Executor:
         key = (rel.name, rel.version)
         hit = self._device_cache.get(key)
         if hit is not None:
+            self._device_lru[key] = self._lru_tick = self._lru_tick + 1
             return hit
         # drop stale versions of this relation
         for k in [k for k in self._device_cache if k[0] == rel.name]:
             del self._device_cache[k]
+            self._device_lru.pop(k, None)
+        self._evict_for(rel)
         n = rel.data.num_rows
         capacity = self._bucket(n)
         host_cols = {}
@@ -356,6 +393,7 @@ class Executor:
         m = {"capacity": capacity, "ranges": ranges,
              "unique_cols": unique_cols, "version": rel.version}
         self._device_cache[key] = (cols, m)
+        self._device_lru[key] = self._lru_tick = self._lru_tick + 1
         return cols, m
 
     def _bucket(self, n: int) -> int:
