@@ -91,35 +91,36 @@ def _dates_from_daynum(day_nums: np.ndarray) -> np.ndarray:
 
 
 def _text_column(rng, n: int, min_words: int, max_words: int,
-                 inject: str = None, inject_prob: float = 0.0) -> List[str]:
-    """Random word strings; optionally inject a two-word pattern 'a...b' so LIKE
-    '%a%b%' predicates select a small fraction."""
+                 inject: str = None, inject_prob: float = 0.0) -> np.ndarray:
+    """Random word strings (vectorized numpy string joins — scales to SF1+);
+    optionally inject a two-word pattern 'a...b' so LIKE '%a%b%' predicates
+    select a small fraction."""
     word_arr = np.array(WORDS)
     counts = rng.integers(min_words, max_words + 1, n)
-    total = int(counts.sum())
-    picks = word_arr[rng.integers(0, len(WORDS), total)]
-    out = []
-    pos = 0
+    idx = rng.integers(0, len(WORDS), (n, max_words))
+    out = word_arr[idx[:, 0]].astype(object)
+    for j in range(1, max_words):
+        wj = np.where(j < counts, word_arr[idx[:, j]], "")
+        sep = np.where(j < counts, " ", "")
+        out = np.char.add(np.char.add(out.astype(str), sep), wj)
     if inject:
         w1, w2 = inject.split()
         hit = rng.random(n) < inject_prob
-    for i in range(n):
-        c = int(counts[i])
-        ws = list(picks[pos:pos + c])
-        pos += c
-        if inject and hit[i] and c >= 2:
-            ws[0] = w1
-            ws[-1] = w2
-        out.append(" ".join(ws))
-    return out
+        if hit.any():
+            suffix = f" {w1} of {w2}"
+            out = np.where(hit, np.char.add(out.astype(str), suffix), out)
+    return np.asarray(out, dtype=object)
 
 
-def _phone(rng, nation: np.ndarray) -> List[str]:
-    a = nation + 10
-    b = rng.integers(100, 1000, len(nation))
-    c = rng.integers(100, 1000, len(nation))
-    d = rng.integers(1000, 10000, len(nation))
-    return [f"{ai}-{bi}-{ci}-{di}" for ai, bi, ci, di in zip(a, b, c, d)]
+def _phone(rng, nation: np.ndarray) -> np.ndarray:
+    a = (nation + 10).astype(str)
+    b = rng.integers(100, 1000, len(nation)).astype(str)
+    c = rng.integers(100, 1000, len(nation)).astype(str)
+    d = rng.integers(1000, 10000, len(nation)).astype(str)
+    out = np.char.add(np.char.add(a, "-"), b)
+    out = np.char.add(np.char.add(out, "-"), c)
+    out = np.char.add(np.char.add(out, "-"), d)
+    return out.astype(object)
 
 
 def _money(rng, lo: float, hi: float, n: int) -> np.ndarray:
@@ -167,7 +168,8 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     s_nation = rng.integers(0, 25, S)
     out["supplier"] = TableData({
         "s_suppkey": _col(INT, sk),
-        "s_name": _col_str(Char(25), [f"Supplier#{i:09d}" for i in sk]),
+        "s_name": _col_str(Char(25), list(np.char.add("Supplier#",
+            np.char.zfill(sk.astype(str), 9)))),
         "s_address": _col_str(VarChar(40), _text_column(rng, S, 2, 4)),
         "s_nationkey": _col(INT, s_nation),
         "s_phone": _col_str(Char(15), _phone(rng, s_nation)),
@@ -180,15 +182,21 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     # ---- part ----
     pk = np.arange(1, P + 1)
     name_words = np.array(COLORS)
-    pname = [" ".join(name_words[rng.integers(0, len(COLORS), 5)])
-             for _ in range(P)]
+    pidx = rng.integers(0, len(COLORS), (P, 5))
+    pname = name_words[pidx[:, 0]]
+    for j in range(1, 5):
+        pname = np.char.add(np.char.add(pname, " "), name_words[pidx[:, j]])
+    pname = list(pname)
     p_mfgr_i = rng.integers(1, 6, P)
     p_brand_i = p_mfgr_i * 10 + rng.integers(1, 6, P)
-    ptype = [f"{TYPE_S1[a]} {TYPE_S2[b]} {TYPE_S3[c]}"
-             for a, b, c in zip(rng.integers(0, 6, P), rng.integers(0, 5, P),
-                                rng.integers(0, 5, P))]
-    pcontainer = [f"{CONTAINER_S1[a]} {CONTAINER_S2[b]}"
-                  for a, b in zip(rng.integers(0, 5, P), rng.integers(0, 8, P))]
+    t1 = np.array(TYPE_S1)[rng.integers(0, 6, P)]
+    t2 = np.array(TYPE_S2)[rng.integers(0, 5, P)]
+    t3 = np.array(TYPE_S3)[rng.integers(0, 5, P)]
+    ptype = list(np.char.add(np.char.add(np.char.add(np.char.add(t1, " "), t2),
+                                         " "), t3))
+    pcontainer = list(np.char.add(np.char.add(
+        np.array(CONTAINER_S1)[rng.integers(0, 5, P)], " "),
+        np.array(CONTAINER_S2)[rng.integers(0, 8, P)]))
     # spec retail price formula (keeps price/partkey correlation)
     p_retail = (90000 + ((pk // 10) % 20001) + 100 * (pk % 1000)) / 100.0
     out["part"] = TableData({
@@ -221,13 +229,14 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     c_nation = rng.integers(0, 25, C)
     out["customer"] = TableData({
         "c_custkey": _col(INT, ck),
-        "c_name": _col_str(VarChar(25), [f"Customer#{i:09d}" for i in ck]),
+        "c_name": _col_str(VarChar(25), list(np.char.add("Customer#",
+            np.char.zfill(ck.astype(str), 9)))),
         "c_address": _col_str(VarChar(40), _text_column(rng, C, 2, 4)),
         "c_nationkey": _col(INT, c_nation),
         "c_phone": _col_str(Char(15), _phone(rng, c_nation)),
         "c_acctbal": _col(DOUBLE, _money(rng, -999.99, 9999.99, C)),
-        "c_mktsegment": _col_str(Char(10), [SEGMENTS[i] for i in
-                                            rng.integers(0, 5, C)]),
+        "c_mktsegment": _col_str(Char(10), list(
+            np.array(SEGMENTS)[rng.integers(0, 5, C)])),
         "c_comment": _col_str(VarChar(117), _text_column(
             rng, C, 5, 12, inject="special requests", inject_prob=0.01)),
     })
@@ -245,11 +254,11 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "o_orderstatus": None,      # filled after lineitem
         "o_totalprice": None,       # filled after lineitem
         "o_orderdate": _col(DATE, o_date),
-        "o_orderpriority": _col_str(Char(15), [PRIORITIES[i] for i in
-                                               rng.integers(0, 5, O)]),
-        "o_clerk": _col_str(Char(15), [f"Clerk#{i:09d}" for i in
-                                       rng.integers(1, max(int(1000 * scale), 10)
-                                                    + 1, O)]),
+        "o_orderpriority": _col_str(Char(15), list(
+            np.array(PRIORITIES)[rng.integers(0, 5, O)])),
+        "o_clerk": _col_str(Char(15), list(np.char.add("Clerk#",
+            np.char.zfill(rng.integers(
+                1, max(int(1000 * scale), 10) + 1, O).astype(str), 9)))),
         "o_shippriority": _col(INT, np.zeros(O, np.int64)),
         "o_comment": _col_str(VarChar(79), _text_column(rng, O, 5, 12)),
     })
@@ -259,7 +268,10 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     L = int(lines_per.sum())
     l_order = np.repeat(ok, lines_per)
     l_orderdate_daynum = np.repeat(o_daynum, lines_per)
-    l_linenumber = np.concatenate([np.arange(1, c + 1) for c in lines_per])
+    # vectorized 1..k per order: global index minus each row's order start
+    ends = np.cumsum(lines_per)
+    starts_ = ends - lines_per
+    l_linenumber = np.arange(L) - np.repeat(starts_, lines_per) + 1
     l_part = rng.integers(1, P + 1, L)
     li4 = rng.integers(0, 4, L)
     l_supp = ((l_part + li4 * (S // 4 + (l_part - 1) // S)) % S) + 1
@@ -291,10 +303,10 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "l_shipdate": _col(DATE, _dates_from_daynum(ship_daynum)),
         "l_commitdate": _col(DATE, _dates_from_daynum(commit_daynum)),
         "l_receiptdate": _col(DATE, _dates_from_daynum(receipt_daynum)),
-        "l_shipinstruct": _col_str(Char(25), [INSTRUCTS[i] for i in
-                                              rng.integers(0, 4, L)]),
-        "l_shipmode": _col_str(Char(10), [MODES[i] for i in
-                                          rng.integers(0, 7, L)]),
+        "l_shipinstruct": _col_str(Char(25), list(
+            np.array(INSTRUCTS)[rng.integers(0, 4, L)])),
+        "l_shipmode": _col_str(Char(10), list(
+            np.array(MODES)[rng.integers(0, 7, L)])),
         "l_comment": _col_str(VarChar(44), _text_column(rng, L, 2, 5)),
     })
 

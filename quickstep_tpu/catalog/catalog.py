@@ -42,6 +42,7 @@ class CatalogRelationStatistics:
     min_values: Dict[str, object] = dataclasses.field(default_factory=dict)
     max_values: Dict[str, object] = dataclasses.field(default_factory=dict)
     num_distinct: Dict[str, int] = dataclasses.field(default_factory=dict)
+    unique_pairs: List[List[str]] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -109,6 +110,25 @@ class CatalogRelation:
             st.min_values[a.name] = _stat_value(col, arr.min())
             st.max_values[a.name] = _stat_value(col, arr.max())
             st.num_distinct[a.name] = int(np.unique(arr).size)
+        # composite-key detection (partsupp-style): when no single column is
+        # unique, check whether the leading pair of integer columns is — feeds
+        # unique-build join planning (the reference gets this from rebuilt
+        # CSBTree/primary-key metadata)
+        n = self.data.num_rows
+        if n and not any(st.num_distinct.get(a.name) == n
+                         for a in self.attributes):
+            ints = [a for a in self.attributes
+                    if self.data.columns[a.name].valid is None and
+                    np.issubdtype(np.asarray(
+                        self.data.columns[a.name].data).dtype, np.integer)]
+            if len(ints) >= 2:
+                a0, a1 = ints[0], ints[1]
+                c0 = np.asarray(self.data.columns[a0.name].data).astype(np.int64)
+                c1 = np.asarray(self.data.columns[a1.name].data).astype(np.int64)
+                span = int(c1.max()) - int(c1.min()) + 1 if n else 1
+                packed = c0 * span + (c1 - int(c1.min()))
+                if np.unique(packed).size == n:
+                    st.unique_pairs.append([a0.name, a1.name])
         self.statistics = st
 
 
@@ -230,7 +250,7 @@ class Catalog:
 def _stats_to_json(st: CatalogRelationStatistics) -> dict:
     return {"exact": st.exact, "num_tuples": st.num_tuples,
             "min_values": st.min_values, "max_values": st.max_values,
-            "num_distinct": st.num_distinct}
+            "num_distinct": st.num_distinct, "unique_pairs": st.unique_pairs}
 
 
 def _stats_from_json(j: Optional[dict]) -> CatalogRelationStatistics:
@@ -239,4 +259,5 @@ def _stats_from_json(j: Optional[dict]) -> CatalogRelationStatistics:
     return CatalogRelationStatistics(
         exact=j.get("exact", False), num_tuples=j.get("num_tuples"),
         min_values=j.get("min_values", {}), max_values=j.get("max_values", {}),
-        num_distinct=j.get("num_distinct", {}))
+        num_distinct=j.get("num_distinct", {}),
+        unique_pairs=j.get("unique_pairs", []))

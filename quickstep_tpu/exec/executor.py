@@ -391,7 +391,9 @@ class Executor:
             cols = jax.device_put(host_cols)
             cols["__num_rows__"] = jnp.asarray(n, jnp.int32)
         m = {"capacity": capacity, "ranges": ranges,
-             "unique_cols": unique_cols, "version": rel.version}
+             "unique_cols": unique_cols, "version": rel.version,
+             "unique_pairs": [tuple(p) for p in st.unique_pairs]
+             if st.exact else []}
         self._device_cache[key] = (cols, m)
         self._device_lru[key] = self._lru_tick = self._lru_tick + 1
         return cols, m

@@ -113,6 +113,10 @@ class PlanRunner:
             ranges[a.expr_id] = r
             if a.name in meta.get("unique_cols", ()):
                 unique_sets.append(frozenset([a.expr_id]))
+        by_name = {a.name: a.expr_id for a in node.attrs}
+        for pair in meta.get("unique_pairs", ()):
+            if all(p in by_name for p in pair):
+                unique_sets.append(frozenset(by_name[p] for p in pair))
         alive = K.alive_mask(capacity, cols["__num_rows__"])
         all_ids = frozenset(a.expr_id for a in node.attrs)
         fds = [(u, all_ids) for u in unique_sets]

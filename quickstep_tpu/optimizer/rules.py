@@ -203,6 +203,11 @@ def _unique_sets(plan: L.LogicalNode, db) -> List[frozenset]:
                 for a in plan.attrs:
                     if a.name == a_cat.name:
                         out.append(frozenset([a.expr_id]))
+        if st.exact:
+            by_name = {a.name: a.expr_id for a in plan.attrs}
+            for pair in st.unique_pairs:
+                if all(p in by_name for p in pair):
+                    out.append(frozenset(by_name[p] for p in pair))
         return out
     if isinstance(plan, L.Filter):
         return _unique_sets(plan.input, db)

@@ -39,14 +39,16 @@ def normalize(rows):
 
 
 def assert_rows_match(qnum, ours, oracle, ordered):
-    ours_n = normalize(ours)
-    oracle_n = normalize(oracle)
     if ordered:
-        assert len(ours_n) == len(oracle_n), \
-            f"Q{qnum}: {len(ours_n)} rows vs oracle {len(oracle_n)}"
-        for i, (a, b) in enumerate(zip(ours_n, oracle_n)):
+        # raw values with isclose tolerance (rounding first can flip a .005
+        # boundary when float summation order differs from the oracle's)
+        assert len(ours) == len(oracle), \
+            f"Q{qnum}: {len(ours)} rows vs oracle {len(oracle)}"
+        for i, (a, b) in enumerate(zip(ours, oracle)):
             assert _row_eq(a, b), f"Q{qnum} row {i}: {a} != {b}"
     else:
+        ours_n = normalize(ours)
+        oracle_n = normalize(oracle)
         assert sorted(map(repr, ours_n)) == sorted(map(repr, oracle_n)), \
             f"Q{qnum} multiset mismatch"
 
@@ -56,7 +58,7 @@ def _row_eq(a, b):
         return False
     for x, y in zip(a, b):
         if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6):
+            if not math.isclose(x, y, rel_tol=1e-8, abs_tol=1e-6):
                 return False
         elif isinstance(x, float) or isinstance(y, float):
             if x is None or y is None:
