@@ -19,7 +19,8 @@ import time
 
 def main():
     sf = float(os.environ.get("BENCH_SF", "0.1"))
-    qlist = [int(q) for q in os.environ.get("BENCH_QUERIES", "1,6,3,12").split(",")]
+    qspec = os.environ.get("BENCH_QUERIES", "1,6,3,12")
+    qlist = list(range(1, 23)) if qspec == "all" else [int(q) for q in qspec.split(",")]
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
     from quickstep_tpu import Database

@@ -28,7 +28,12 @@ import numpy as np
 from quickstep_tpu.config import Config
 from quickstep_tpu.errors import ExecutionError
 from quickstep_tpu.types import Type, TypeID
-from quickstep_tpu.expressions.scalar import Expr, Attr, Lit
+from quickstep_tpu.expressions.scalar import Expr, Attr, Lit, Cmp
+
+
+def _flip_cmp(op: str) -> str:
+    return {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+            "=": "=", "<>": "<>"}[op]
 from quickstep_tpu.expressions.aggregate import AggregateSpec
 from quickstep_tpu.optimizer import logical as L
 from quickstep_tpu.optimizer.logical import OutAttr
@@ -557,10 +562,72 @@ class PlanRunner:
         else:
             strategy = "expand"
 
+        if node.kind in ("semi", "anti") and strategy == "expand" and \
+                ov is None:
+            out = self._semi_stats_join(node, probe, build, pk_data, bk_data)
+            if out is not None:
+                return out
         if strategy == "unique":
             return self._unique_join(node, probe, build, pk_data, bk_data,
                                      check_dups=not build_unique)
         return self._expand_join(node, probe, build, pk_data, bk_data, ov)
+
+    def _semi_stats_join(self, node, probe, build, pk_data, bk_data):
+        """Semi/anti join with a single-comparison residual, without expansion:
+        EXISTS (x in group(k) with x OP v) is decidable from per-group min/max
+        of x — group the build side by the join keys (one sort), then a unique
+        join against the groups (Q21's correlated <> EXISTS pattern).
+        Returns None when the residual shape doesn't match."""
+        res = node.residual
+        if not (isinstance(res, Cmp) and res.op in ("<>", "<", ">", "<=", ">=")):
+            return None
+        build_ids = {a.expr_id for a in build.attrs}
+        probe_ids = {a.expr_id for a in probe.attrs}
+        lref = res.lhs.referenced_attrs()
+        rref = res.rhs.referenced_attrs()
+        if lref and lref <= build_ids and rref and rref <= probe_ids:
+            build_expr, probe_expr, op = res.lhs, res.rhs, _flip_cmp(res.op)
+        elif rref and rref <= build_ids and lref and lref <= probe_ids:
+            build_expr, probe_expr, op = res.rhs, res.lhs, res.op
+        else:
+            return None
+        bx, bxv = build.broadcast(*self._eval(build, build_expr))
+        if bxv is not None:
+            return None  # null semantics in min/max stats: fall back
+        key_ranges = self._key_ranges(node.right_keys, build)
+        packed = self._pack_sort_key(bk_data, [None] * len(bk_data), key_ranges)
+        out_keys, _, n_groups, results = G.sort_groupby(
+            bk_data, [None] * len(bk_data),
+            [("min", bx, None), ("max", bx, None)],
+            build.alive, packed_key=packed)
+        galive = K.alive_mask(build.capacity, n_groups)
+        # unique join: probe keys -> group row (group keys are unique)
+        tsize = K.next_pow2(2 * build.capacity)
+        table, _ = J.oa_build(out_keys, galive, tsize)
+        gidx, matched = J.oa_probe(table, out_keys, pk_data, probe.alive)
+        safe = jnp.clip(gidx, 0, build.capacity - 1)
+        gmin = results[0][0][safe]
+        gmax = results[1][0][safe]
+        px, pxv = probe.broadcast(*self._eval(probe, probe_expr))
+        # exists x in group with (probe_val OP' x)? where op is probe OP build:
+        # evaluate via extremes
+        px64 = px.astype(gmin.dtype)
+        if op == "<>":
+            hit = (gmin != px64) | (gmax != px64)
+        elif op == "<":      # probe < x for some x  <=>  probe < max
+            hit = px64 < gmax
+        elif op == "<=":
+            hit = px64 <= gmax
+        elif op == ">":
+            hit = px64 > gmin
+        else:
+            hit = px64 >= gmin
+        if pxv is not None:
+            hit = hit & pxv
+        matched = matched & hit
+        if node.kind == "anti":
+            matched = ~matched
+        return dataclasses.replace(probe, alive=probe.alive & matched)
 
     def _key_ranges(self, keys, chunk):
         return [infer_range(e, chunk.ranges) for e in keys]

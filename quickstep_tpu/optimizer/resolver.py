@@ -1157,7 +1157,12 @@ class _CorrelatedSelectResolver:
                 proj_exprs.append(r._resolve_expr(item.expr, scope, state))
                 proj_names.append(item.alias or _default_name(item.expr))
             plan = r._attach_pending_joins(plan, state)
-            if not correlated or not _is_trivial_projection(proj_exprs, plan):
+            # In a correlated subquery the projection is only load-bearing for
+            # IN/scalar forms; for an attr-free list (EXISTS (SELECT 1 ...))
+            # keep the plan un-projected so correlation keys stay resolvable.
+            attr_free = not any(e.referenced_attrs() for e in proj_exprs)
+            if not correlated or not (
+                    _is_trivial_projection(proj_exprs, plan) or attr_free):
                 plan = r._make_project(plan, proj_exprs, proj_names)
         if stmt.order_by or stmt.limit is not None:
             if correlated:
