@@ -518,15 +518,37 @@ class PlanRunner:
             self._bind_subqueries(e)
 
         pk_data = []
-        for e in node.left_keys:
+        pk_valid0 = bk_valid0 = None
+        for i, e in enumerate(node.left_keys):
             d, v = self._eval(probe, e)
-            d, _ = probe.broadcast(d, v)
+            d, v = probe.broadcast(d, v)
+            if i == 0:
+                pk_valid0 = v
             pk_data.append(d)
         bk_data = []
-        for e in node.right_keys:
+        for i, e in enumerate(node.right_keys):
             d, v = self._eval(build, e)
-            d, _ = build.broadcast(d, v)
+            d, v = build.broadcast(d, v)
+            if i == 0:
+                bk_valid0 = v
             bk_data.append(d)
+
+        def na_correct(out):
+            """[NOT] IN three-valued logic (reference null-aware anti-join
+            semantics): a NULL operand never passes against a non-empty inner
+            side; NOT IN passes nothing when the inner side contains a NULL."""
+            if not getattr(node, "null_aware", False) or \
+                    node.kind not in ("semi", "anti"):
+                return out
+            alive = out.alive
+            if pk_valid0 is not None:
+                if node.kind == "semi":
+                    alive = alive & pk_valid0
+                else:
+                    alive = alive & (pk_valid0 | ~jnp.any(build.alive))
+            if node.kind == "anti" and bk_valid0 is not None:
+                alive = alive & ~jnp.any(build.alive & ~bk_valid0)
+            return dataclasses.replace(out, alive=alive)
 
         # FilterJoin strength reduction (InjectJoinFilters analog): semi/anti
         # joins over a single ranged integer key need only an exact bit-vector
@@ -542,13 +564,17 @@ class PlanRunner:
                 matched = B.exact_filter_probe(bits, pk_data[0], probe.alive, lo)
                 if node.kind == "anti":
                     matched = probe.alive & ~matched
-                return dataclasses.replace(probe, alive=probe.alive & matched)
+                return na_correct(dataclasses.replace(
+                    probe, alive=probe.alive & matched))
 
         build_key_ids = [e.expr_id for e in node.right_keys
                          if isinstance(e, Attr)]
         build_unique = (len(build_key_ids) == len(node.right_keys)) and \
             build.is_unique(build_key_ids)
         ov = self.overrides.get(self.node_index[id(node)])
+        if node.kind == "full":
+            return self._full_join(node, probe, build, pk_data, bk_data, ov,
+                                   build_unique)
         strategy = None
         if ov and ov.strategy:
             strategy = ov.strategy
@@ -566,11 +592,13 @@ class PlanRunner:
                 ov is None:
             out = self._semi_stats_join(node, probe, build, pk_data, bk_data)
             if out is not None:
-                return out
+                return na_correct(out)
         if strategy == "unique":
-            return self._unique_join(node, probe, build, pk_data, bk_data,
-                                     check_dups=not build_unique)
-        return self._expand_join(node, probe, build, pk_data, bk_data, ov)
+            return na_correct(self._unique_join(
+                node, probe, build, pk_data, bk_data,
+                check_dups=not build_unique))
+        return na_correct(self._expand_join(
+            node, probe, build, pk_data, bk_data, ov))
 
     def _semi_stats_join(self, node, probe, build, pk_data, bk_data):
         """Semi/anti join with a single-comparison residual, without expansion:
@@ -628,6 +656,87 @@ class PlanRunner:
         if node.kind == "anti":
             matched = ~matched
         return dataclasses.replace(probe, alive=probe.alive & matched)
+
+    def _full_join(self, node, probe, build, pk_data, bk_data, ov,
+                   build_unique):
+        """FULL OUTER JOIN = left-outer join ++ null-extended unmatched build
+        rows, concatenated into a capacity P(+ expansion)+B chunk (reference
+        kLeftOuterJoin + BuildAggregationExistenceMapOperator existence-bitmap
+        pattern, relational_operators/BuildAggregationExistenceMapOperator.hpp:61
+        — here the existence mask comes from a reverse hash probe instead of a
+        shared bitmap)."""
+        left_node = dataclasses.replace(node, kind="left")
+        idx = self.node_index[id(node)]
+        self.node_index[id(left_node)] = idx
+        if build_unique and not (ov and ov.strategy == "expand"):
+            out = self._unique_join(left_node, probe, build, pk_data, bk_data,
+                                    check_dups=False)
+        else:
+            out = self._expand_join(left_node, probe, build, pk_data, bk_data,
+                                    ov)
+
+        # Which build rows found a partner? Reverse existence probe.
+        if node.residual is None:
+            tsize = K.next_pow2(2 * probe.capacity)
+            table, _ = J.oa_build(pk_data, probe.alive, tsize)
+            _, bmatched = J.oa_probe(table, pk_data, bk_data, build.alive)
+        else:
+            # residual participates in matching: expand from the build side and
+            # test the residual per candidate pair
+            packed_b, packed_p = self._pack_keys(node, build, probe,
+                                                 bk_data, pk_data)
+            sorted_key, order = J.sorted_build(packed_p, probe.alive)
+            kmax = (ov.max_matches if ov and ov.max_matches
+                    else self._default_k(node))
+            rows, counts = J.expand_probe(sorted_key, order, packed_b,
+                                          build.alive, kmax)
+            okey = f"join_overflow_{idx}"
+            rev_over = jnp.any(counts > kmax)
+            self.flags[okey] = (self.flags[okey] | rev_over) \
+                if okey in self.flags else rev_over
+            bmatched = jnp.zeros((build.capacity,), bool)
+            for k in range(kmax):
+                pidx = rows[:, k]
+                okk = pidx >= 0
+                pair = self._pair_chunk(node, build, probe, pidx, okk)
+                passed = self._eval_pred(pair, node.residual)
+                bmatched = bmatched | (okk & passed)
+        tail_alive = build.alive & ~bmatched
+
+        # Concatenate: left-join output on top, unmatched build rows (probe side
+        # null-extended) below.
+        build_ids = {a.expr_id for a in build.attrs}
+        slots = {}
+        for a in node.output:
+            d, v = out.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (out.capacity,))
+            if a.expr_id in build_ids:
+                td, tv = build.slots[a.expr_id]
+                td = jnp.asarray(td)
+                if td.ndim == 0:
+                    td = jnp.broadcast_to(td, (build.capacity,))
+                tail_v = tv
+            else:
+                td = jnp.zeros((build.capacity,), d.dtype)
+                tail_v = jnp.zeros((build.capacity,), bool)
+            data = jnp.concatenate([d, td.astype(d.dtype)])
+            if v is None and tail_v is None:
+                valid = None
+            else:
+                valid = jnp.concatenate([
+                    v if v is not None else jnp.ones((out.capacity,), bool),
+                    tail_v if tail_v is not None
+                    else jnp.ones((build.capacity,), bool)])
+            slots[a.expr_id] = (data, valid)
+        alive = jnp.concatenate([out.alive, tail_alive])
+        ranges = {a.expr_id: (out.ranges.get(a.expr_id)
+                              if a.expr_id not in build_ids
+                              else build.ranges.get(a.expr_id))
+                  for a in node.output}
+        return Chunk(attrs=list(node.output), slots=slots, alive=alive,
+                     capacity=out.capacity + build.capacity, ranges=ranges)
 
     def _key_ranges(self, keys, chunk):
         return [infer_range(e, chunk.ranges) for e in keys]
@@ -943,15 +1052,37 @@ class PlanRunner:
             alive = jnp.concatenate([c.alive for c in chunks])
             return Chunk(attrs=list(node.attrs), slots=slots, alive=alive,
                          capacity=cap, ranges={})
-        if node.kind == "intersect":
-            # left semi-join right on all columns, then dedup
+        if node.kind in ("intersect", "except"):
+            # left semi/anti-join right on all columns, then dedup. Set-op
+            # semantics treat NULLs as equal, so validity joins the key.
             left, right = chunks
-            lk = [left.broadcast(*left.slots[a.expr_id])[0] for a in left.attrs]
-            rk = [right.broadcast(*right.slots[a.expr_id])[0]
-                  for a in right.attrs]
+
+            nullable_cols = [
+                left.slots[la.expr_id][1] is not None or
+                right.slots[ra.expr_id][1] is not None
+                for la, ra in zip(left.attrs, right.attrs)]
+
+            def keys_of(c):
+                ks = []
+                for a, oa, nullable in zip(c.attrs, node.attrs, nullable_cols):
+                    d, v = c.broadcast(*c.slots[a.expr_id])
+                    # dictionary codes from different inputs must be compared
+                    # in the merged output dictionary
+                    d, v = self._remap_for_union(oa, a, d, v)
+                    if nullable:
+                        if v is None:
+                            v = jnp.ones((c.capacity,), bool)
+                        d = jnp.where(v, d, jnp.zeros((), d.dtype))
+                        ks.append(v.astype(jnp.int32))
+                    ks.append(d)
+                return ks
+
+            lk, rk = keys_of(left), keys_of(right)
             tsize = K.next_pow2(2 * right.capacity)
             table, _ = J.oa_build(rk, right.alive, tsize)
             _, matched = J.oa_probe(table, rk, lk, left.alive)
+            if node.kind == "except":
+                matched = ~matched
             semi = dataclasses.replace(left, alive=left.alive & matched)
             # rename to output ids then dedup
             slots = {}

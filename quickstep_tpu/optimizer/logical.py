@@ -133,6 +133,10 @@ class Join(LogicalNode):
     left_keys: List[Expr] = dataclasses.field(default_factory=list)
     right_keys: List[Expr] = dataclasses.field(default_factory=list)
     residual: Optional[Expr] = None
+    # [NOT] IN subquery three-valued-logic semantics on key pair 0: a NULL
+    # operand never passes, and NOT IN passes nothing when the inner side
+    # contains a NULL (unless empty)
+    null_aware: bool = False
 
     @property
     def output(self):

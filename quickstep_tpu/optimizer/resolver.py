@@ -99,6 +99,7 @@ class PendingJoin:
     inner_keys: List[Expr]       # attrs of plan.output
     residual: Optional[Expr] = None
     post_predicate: Optional[Expr] = None  # for scalar_agg comparisons
+    null_aware: bool = False     # [NOT] IN three-valued semantics on key 0
 
 
 class ResolveState:
@@ -405,7 +406,7 @@ class Resolver:
             if pj.kind in ("semi", "anti"):
                 plan = L.Join(left=plan, right=pj.plan, kind=pj.kind,
                               left_keys=pj.outer_keys, right_keys=pj.inner_keys,
-                              residual=pj.residual)
+                              residual=pj.residual, null_aware=pj.null_aware)
             else:  # scalar_agg: left join, comparison applied as a filter above
                 plan = L.Join(left=plan, right=pj.plan, kind="left",
                               left_keys=pj.outer_keys, right_keys=pj.inner_keys,
@@ -1019,9 +1020,11 @@ class Resolver:
             correlated, {a.expr_id for a in plan.output})
         outer_keys = [operand] + outer_keys
         inner_keys = [inner_attr] + inner_keys
+        nullable = operand.type.nullable or out0.type.nullable
         state.pending_joins.append(PendingJoin(
             kind="anti" if e.negated else "semi", plan=plan,
-            outer_keys=outer_keys, inner_keys=inner_keys, residual=residual))
+            outer_keys=outer_keys, inner_keys=inner_keys, residual=residual,
+            null_aware=nullable))
 
     def _resolve_scalar_subquery(self, e: A.ScalarSubqueryExpr, scope: Scope,
                                  state: ResolveState) -> Expr:

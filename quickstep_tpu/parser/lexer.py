@@ -17,7 +17,8 @@ KEYWORDS = {
     "bitweaving", "blockproperties", "blocksample", "bloom", "by", "case", "cast",
     "character", "char", "check", "column", "constraint", "copy", "create", "csbtree",
     "current", "date", "datetime", "day", "decimal", "default", "delete", "delimiter",
-    "desc", "distinct", "double", "drop", "else", "end", "escape_strings", "exists",
+    "desc", "distinct", "double", "drop", "else", "end", "escape_strings", "except",
+    "exists",
     "extract", "false", "first", "float", "following", "for", "foreign", "from", "full",
     "group", "hash", "having", "hour", "in", "index", "inner", "insert", "integer", "int",
     "intersect", "interval", "into", "is", "join", "key", "last", "left", "like", "limit",

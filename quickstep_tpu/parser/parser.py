@@ -139,7 +139,7 @@ class _Parser:
         stmt.line, stmt.column = t.line, t.column
         # set operations, left-associative (flat chain, as in the reference grammar's
         # ParseSetOperation)
-        while self.at_kw("union", "intersect"):
+        while self.at_kw("union", "intersect", "except"):
             op = self.next().value
             if op == "union" and self.accept_kw("all"):
                 op = "union_all"

@@ -46,27 +46,32 @@ def plan_to_dot(plan: L.LogicalNode, cards: Optional[Dict[int, float]] = None,
     return "\n".join(lines)
 
 
-def profile_plan(executor, plan: L.LogicalNode) -> Dict[int, float]:
+def profile_plan(executor, plan: L.LogicalNode, runs: int = 2) -> Dict[int, float]:
     """Execute the plan node-by-node eagerly, timing each operator (the
-    WorkOrder-timing analog). Returns {id(node): seconds}."""
+    WorkOrder-timing analog). Eager dispatch compiles every op on first touch,
+    so by default the plan is stepped twice and the LAST pass reported — warm
+    numbers, like the reference skipping the cold first query
+    (cli/QuickstepCli.cpp:143-145). Returns {id(node): seconds}."""
     import jax
     from quickstep_tpu.exec.runner import PlanRunner
 
     inputs, meta = executor._collect_inputs(plan)
-    runner = PlanRunner(plan, inputs, meta, executor.config, {})
     times: Dict[int, float] = {}
-    orig_exec = runner.exec
+    for _ in range(max(1, runs)):
+        runner = PlanRunner(plan, inputs, meta, executor.config, {})
+        times = {}
+        orig_exec = runner.exec
 
-    def timed_exec(node):
-        t0 = time.perf_counter()
-        chunk = orig_exec(node)
-        jax.block_until_ready((chunk.alive,))
-        times[id(node)] = time.perf_counter() - t0 - sum(
-            times.get(id(c), 0.0) for c in node.children())
-        return chunk
+        def timed_exec(node):
+            t0 = time.perf_counter()
+            chunk = orig_exec(node)
+            jax.block_until_ready((chunk.alive,))
+            times[id(node)] = time.perf_counter() - t0 - sum(
+                times.get(id(c), 0.0) for c in node.children())
+            return chunk
 
-    runner.exec = timed_exec
-    timed_exec(plan)
+        runner.exec = timed_exec
+        timed_exec(plan)
     return times
 
 
