@@ -10,17 +10,66 @@ and scatter results back to original row positions. No sequential pass anywhere.
 Supported frames:
 - no ORDER BY            -> whole partition (UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING)
 - ORDER BY, no frame     -> RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included)
-- ROWS BETWEEN a PRECEDING|UNBOUNDED AND b FOLLOWING|CURRENT  (sum/count/avg)
+- ROWS BETWEEN a PRECEDING|UNBOUNDED AND b FOLLOWING|CURRENT   (all five aggs)
+- RANGE BETWEEN a PRECEDING|UNBOUNDED AND b FOLLOWING|CURRENT  (all five aggs;
+  single numeric ORDER BY key, value-offset bounds found by a vectorized
+  lexicographic binary search; MIN/MAX answered by a segmented sparse table)
 """
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from quickstep_tpu.ops.kernels import max_sentinel, min_sentinel
+
+
+def _lex_searchsorted(seg_sorted, val_sorted, qseg, qval, side: str):
+    """Vectorized binary search for (qseg, qval) in rows sorted by
+    (segment, value) — jnp.searchsorted has no lexicographic form."""
+    n = seg_sorted.shape[0]
+    lo = jnp.zeros(qseg.shape, jnp.int32)
+    hi = jnp.full(qseg.shape, n, jnp.int32)
+    for _ in range(max(1, math.ceil(math.log2(max(n, 2))) + 1)):
+        mid = (lo + hi) // 2
+        safe = jnp.minimum(mid, n - 1)
+        ms = seg_sorted[safe]
+        mv = val_sorted[safe]
+        if side == "left":
+            go_right = (ms < qseg) | ((ms == qseg) & (mv < qval))
+        else:
+            go_right = (ms < qseg) | ((ms == qseg) & (mv <= qval))
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _range_query_minmax(c, lo, hi, is_min):
+    """Per-row [lo, hi] range min/max over c via a sparse table (log2(n) levels,
+    each the pairwise combine at stride 2^k); empty windows (hi < lo) yield the
+    sentinel."""
+    n = c.shape[0]
+    sent = max_sentinel(c.dtype) if is_min else min_sentinel(c.dtype)
+    op = jnp.minimum if is_min else jnp.maximum
+    levels = [c]
+    k = 1
+    while k < n:
+        prev = levels[-1]
+        pad = jnp.full((min(k, n),), sent, c.dtype)
+        shifted = jnp.concatenate([prev[k:], pad])[:n]
+        levels.append(op(prev, shifted))
+        k *= 2
+    table = jnp.stack(levels)                      # [log, n]
+    length = jnp.maximum(hi - lo + 1, 1)
+    j = (63 - jax.lax.clz(length.astype(jnp.int64))).astype(jnp.int32)
+    pow_j = (jnp.int64(1) << j.astype(jnp.int64)).astype(jnp.int32)
+    a = table[j, jnp.clip(lo, 0, n - 1)]
+    b = table[j, jnp.clip(hi - pow_j + 1, 0, n - 1)]
+    res = op(a, b)
+    return jnp.where(hi < lo, sent, res)
 
 
 def _segmented_scan(vals: jnp.ndarray, seg_start: jnp.ndarray, combine):
@@ -83,10 +132,33 @@ def window_aggregate(
         res_sorted, nn_sorted = _prefix_to_peers(
             fn, contrib_sum, contrib_cnt, s_vals, live, seg_start, order,
             order_keys, n)
-    elif frame[0] == "rows":
-        res_sorted, nn_sorted = _rows_frame(
-            fn, contrib_sum, contrib_cnt, s_vals, live, seg_start, seg_ids,
-            frame, n)
+    elif frame[0] in ("rows", "range"):
+        idx = jnp.arange(n)
+        seg_first = jnp.full(n, n, jnp.int32).at[seg_ids].min(
+            idx.astype(jnp.int32), mode="drop")[seg_ids]
+        seg_last = jnp.zeros(n, jnp.int32).at[seg_ids].max(
+            idx.astype(jnp.int32), mode="drop")[seg_ids]
+        _, start, end = frame
+        if frame[0] == "rows":
+            lo = seg_first if start is None else \
+                jnp.maximum(seg_first, idx.astype(jnp.int32) - start)
+            hi = seg_last if end is None else \
+                jnp.minimum(seg_last, idx.astype(jnp.int32) + end)
+        else:
+            if len(order_keys) != 1:
+                raise NotImplementedError(
+                    "RANGE with offsets requires exactly one ORDER BY key")
+            # For DESC keys the sort key was order-reversed by an affine
+            # negation, under which [v'-a, v'+b] is exactly the SQL window
+            # (PRECEDING = larger original values) — no offset swap needed.
+            sv = okeys[0][order]
+            lo = seg_first if start is None else _lex_searchsorted(
+                seg_ids, sv, seg_ids, sv - start, "left").astype(jnp.int32)
+            hi = seg_last if end is None else (_lex_searchsorted(
+                seg_ids, sv, seg_ids, sv + end, "right") - 1).astype(jnp.int32)
+        hi = jnp.maximum(hi, lo - 1)   # empty window
+        res_sorted, nn_sorted = _eval_frame(
+            fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi)
     else:
         raise NotImplementedError(f"window frame {frame}")
 
@@ -152,27 +224,29 @@ def _prefix_to_peers(fn, contrib_sum, contrib_cnt, s_vals, live, seg_start,
     return res, cnt
 
 
-def _rows_frame(fn, contrib_sum, contrib_cnt, s_vals, live, seg_start, seg_ids,
-                frame, n):
+def _eval_frame(fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi):
+    """Aggregate over per-row inclusive index windows [lo, hi] (already clipped
+    to segment bounds): prefix-sum differences for SUM/COUNT/AVG, sparse-table
+    range queries for MIN/MAX."""
     if fn in ("min", "max"):
-        raise NotImplementedError("MIN/MAX with bounded ROWS frames")
-    _, start, end = frame
-    idx = jnp.arange(n)
+        is_min = fn == "min"
+        sent = max_sentinel(s_vals.dtype) if is_min else \
+            min_sentinel(s_vals.dtype)
+        c = jnp.where(live, s_vals, sent)
+        m = _range_query_minmax(c, lo, hi, is_min)
+        pcnt = jnp.cumsum(contrib_cnt)
+        cnt = pcnt[jnp.maximum(hi, 0)] - jnp.where(
+            lo > 0, pcnt[jnp.maximum(lo - 1, 0)], jnp.zeros((), pcnt.dtype))
+        cnt = jnp.where(hi < lo, jnp.zeros((), cnt.dtype), cnt)
+        return m, cnt
     psum = jnp.cumsum(contrib_sum)
     pcnt = jnp.cumsum(contrib_cnt)
-    seg_first = jnp.full(n, n, jnp.int32).at[seg_ids].min(
-        idx.astype(jnp.int32), mode="drop")[seg_ids]
-    seg_last = jnp.zeros(n, jnp.int32).at[seg_ids].max(
-        idx.astype(jnp.int32), mode="drop")[seg_ids]
-    lo = seg_first if start is None else jnp.maximum(seg_first, idx - start)
-    hi = seg_last if end is None else jnp.minimum(seg_last, idx + end)
-    hi = jnp.maximum(hi, lo - 1)
 
     def rangesum(p, c):
-        total = p[hi]
+        total = p[jnp.maximum(hi, 0)]
         below = jnp.where(lo > 0, p[jnp.maximum(lo - 1, 0)],
                           jnp.zeros((), c.dtype))
-        return total - below
+        return jnp.where(hi < lo, jnp.zeros((), c.dtype), total - below)
     s = rangesum(psum, contrib_sum)
     c = rangesum(pcnt, contrib_cnt)
     if fn == "count":

@@ -58,3 +58,37 @@ def test_running_min(dbs):
 
 def test_no_partition(dbs):
     run_both(dbs, "SELECT o, sum(v) OVER (ORDER BY o) FROM w")
+
+
+def test_range_frame_bounded(dbs):
+    run_both(dbs, "SELECT g, o, sum(v) OVER (PARTITION BY g ORDER BY o "
+                  "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) FROM w")
+
+
+def test_range_frame_current(dbs):
+    run_both(dbs, "SELECT g, o, count(v) OVER (PARTITION BY g ORDER BY o "
+                  "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM w")
+
+
+def test_range_frame_unbounded_start(dbs):
+    run_both(dbs, "SELECT g, o, avg(v) OVER (PARTITION BY g ORDER BY o "
+                  "RANGE BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) FROM w")
+
+
+def test_range_frame_min(dbs):
+    run_both(dbs, "SELECT g, o, min(v) OVER (PARTITION BY g ORDER BY o "
+                  "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) FROM w")
+
+
+def test_rows_frame_minmax(dbs):
+    run_both(dbs, "SELECT g, o, max(v) OVER (PARTITION BY g ORDER BY o "
+                  "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), "
+                  "min(v) OVER (PARTITION BY g ORDER BY o "
+                  "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM w")
+
+
+def test_range_frame_desc(dbs):
+    run_both(dbs, "SELECT g, o, sum(v) OVER (PARTITION BY g ORDER BY o DESC "
+                  "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING), "
+                  "max(v) OVER (PARTITION BY g ORDER BY o DESC "
+                  "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) FROM w")
