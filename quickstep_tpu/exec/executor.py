@@ -169,6 +169,22 @@ class Executor:
         return self._materialize_sorted(outs, out_attrs, host_sort,
                                         final_attrs, trim_ids)
 
+    def _result_prefix(self, plan, capacity: int) -> int:
+        """Static prefix of compacted output rows returned by the jitted program
+        itself, so a single D2H pull covers (count, flags, result) in one
+        round-trip — the tunnel RTT (~25ms) otherwise dominates small queries.
+        Sized from the cost model with 4x headroom; overflow falls back to a
+        second pull of the full arrays."""
+        try:
+            from quickstep_tpu.optimizer.rules import (
+                collect_attr_stats, estimate_cardinality)
+            env = collect_attr_stats(plan, self.db)
+            est = estimate_cardinality(plan, self.db, env)
+        except Exception:
+            est = float("inf")
+        want = K.next_pow2(int(min(max(4 * est, 1024), 16384)))
+        return min(capacity, want)
+
     def _compile_and_run(self, plan, inputs, meta, overrides):
         fp = (_fingerprint(plan),
               tuple(sorted((k, m["capacity"], m["version"])
@@ -182,33 +198,40 @@ class Executor:
                 runner = PlanRunner(plan, dev_inputs, meta, self.config,
                                     overrides)
                 chunk = runner.exec(plan)
-                dest, count = K.compact_indices(chunk.alive)
-                datas = []
-                valids = []
+                count = jnp.sum(chunk.alive.astype(jnp.int32))
+                # gather-based stable compaction: ONE payload sort + ONE
+                # row-packed gather instead of a scatter per column (TPU
+                # scatters are ~5x slower than gathers)
+                order = K.compact_order(chunk.alive)
+                cols = []
                 for a in out_attrs:
                     d, v = chunk.slots[a.expr_id]
                     d = jnp.asarray(d)
                     if d.ndim == 0:
                         d = jnp.broadcast_to(d, (chunk.capacity,))
-                    datas.append(K.scatter_compact(d, dest, chunk.capacity))
-                    if v is None:
-                        valids.append(None)
-                    else:
-                        valids.append(K.scatter_compact(
-                            v, dest, chunk.capacity, fill=False))
-                return tuple(datas), tuple(valids), count, dict(runner.flags)
+                    cols.append(d)
+                    cols.append(v)
+                gathered = K.multi_gather(cols, order)
+                datas = tuple(gathered[0::2])
+                valids = tuple(gathered[1::2])
+                prefix = self._result_prefix(plan, chunk.capacity)
+                sliced = (tuple(d[:prefix] for d in datas),
+                          tuple(None if v is None else v[:prefix]
+                                for v in valids))
+                return datas, valids, sliced, count, dict(runner.flags)
             cached = jax.jit(fn)
             self._compile_cache[fp] = cached
-        datas, valids, count, flags = cached(inputs)
-        return (datas, valids, count), flags, out_attrs
+        datas, valids, sliced, count, flags = cached(inputs)
+        # ONE batched D2H round-trip for count + runtime flags + result prefix
+        n, host_flags, host_sliced = jax.device_get((count, flags, sliced))
+        outs = (datas, valids, int(n), host_sliced)
+        return outs, host_flags, out_attrs
 
     def _check_flags(self, plan, flags, overrides) -> bool:
         """Inspect runtime flags (duplicate build keys / expansion overflow);
         install overrides and request a retry when needed — the kOutOfSpace
         retry loop analog."""
         retry = False
-        if flags:
-            flags = jax.device_get(flags)  # one batched pull for all flags
         for key, val in flags.items():
             if not bool(val):
                 continue
@@ -277,11 +300,17 @@ class Executor:
         return rows, names, types
 
     def _pull_outputs(self, outs):
-        """Device->host with ONE batched transfer of a live-row prefix (per-array
-        D2H round-trips dominate on high-latency links; padded tails are dead)."""
-        datas, valids, count = outs
-        n = int(count)
-        capacity = int(jnp.shape(datas[0])[0]) if datas else 0
+        """Device->host. The jitted program already returned a compacted result
+        prefix in the single batched pull; only prefix overflow pays a second
+        transfer of the full arrays."""
+        datas, valids, n, (pref_d, pref_v) = outs
+        prefix = int(np.shape(pref_d[0])[0]) if pref_d else 0
+        if n <= prefix or not datas:
+            host_d = [np.asarray(d)[:n] for d in pref_d]
+            host_v = [None if v is None else np.asarray(v)[:n]
+                      for v in pref_v]
+            return host_d, host_v, n
+        capacity = int(jnp.shape(datas[0])[0])
         m = min(capacity, K.next_pow2(max(n, 8)))
         sliced_d = [d[:m] for d in datas]
         sliced_v = [None if v is None else v[:m] for v in valids]

@@ -37,6 +37,74 @@ def scatter_compact(col: jnp.ndarray, dest: jnp.ndarray,
     return out.at[dest].set(col, mode="drop", unique_indices=True)
 
 
+def _lane_dtype(dt) -> jnp.dtype:
+    """Canonical gather-lane dtype. 64-bit types keep their own lane dtype
+    (TPU's X64 emulation forbids 64-bit bitcasts); 32-bit types share int32
+    lanes; sub-byte/bool share int8 lanes."""
+    dt = jnp.dtype(dt)
+    if dt.itemsize == 8:
+        return dt
+    if dt.itemsize == 4:
+        return jnp.dtype(jnp.int32)
+    return jnp.dtype(jnp.int8)
+
+
+def _to_lane(d: jnp.ndarray, lane: jnp.dtype) -> jnp.ndarray:
+    if d.dtype == lane:
+        return d
+    if d.dtype.itemsize == lane.itemsize and d.dtype.kind in "fu":
+        return jax.lax.bitcast_convert_type(d, lane)
+    return d.astype(lane)
+
+
+def _from_lane(d: jnp.ndarray, dt) -> jnp.ndarray:
+    dt = jnp.dtype(dt)
+    if d.dtype == dt:
+        return d
+    if d.dtype.itemsize == dt.itemsize and dt.kind in "fu":
+        return jax.lax.bitcast_convert_type(d, dt)
+    return d.astype(dt)
+
+
+def multi_gather(cols: List[Optional[jnp.ndarray]], idx: jnp.ndarray):
+    """Gather many equal-length columns by ONE index vector using row-packed
+    gathers (one [n, k] gather per lane dtype instead of k 1-D gathers).
+
+    On TPU, k separate 1-D gathers each pay a full random-access pass
+    (~15ms/1M rows measured on v5e), while a row gather amortizes the
+    per-index cost across lanes (~6x faster at k=4). Columns are grouped by
+    canonical lane dtype (64-bit kinds keep their own group — TPU's X64
+    emulation cannot bitcast 64-bit types). None entries pass through (absent
+    null masks)."""
+    out = list(cols)
+    groups: dict = {}
+    for i, c in enumerate(cols):
+        if c is None:
+            continue
+        groups.setdefault(_lane_dtype(c.dtype), []).append(i)
+    for lane, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = cols[i][idx]
+            continue
+        packed = jnp.stack([_to_lane(cols[i], lane) for i in idxs], axis=1)
+        g = packed[idx]  # [m, k] one row gather per lane group
+        for j, i in enumerate(idxs):
+            out[i] = _from_lane(g[:, j], cols[i].dtype)
+    return out
+
+
+def compact_order(alive: jnp.ndarray) -> jnp.ndarray:
+    """Stable permutation putting live rows first (gather-based compaction).
+    A payload-carrying sort beats per-column scatters on TPU: scatters
+    (even unique_indices) run ~5x slower than gathers."""
+    capacity = alive.shape[0]
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    _, order = jax.lax.sort(((~alive).astype(jnp.int8), iota),
+                            num_keys=1, is_stable=True)
+    return order
+
+
 def hash64(x: jnp.ndarray) -> jnp.ndarray:
     """SplitMix64 finalizer — the TPU analog of farmhash in the reference
     (utility/BloomFilter.hpp uses farmhash; exact function is irrelevant, mixing
