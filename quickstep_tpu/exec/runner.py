@@ -383,7 +383,7 @@ class PlanRunner:
                 [key_data[i] for i in subset],
                 [key_valid[i] for i in subset],
                 [key_ranges[i] for i in subset])
-        out_keys, out_valids, n_groups, results = G.sort_groupby(
+        out_keys, out_valids, occupied, _n_groups, results = G.sort_groupby(
             key_data, key_valid, agg_inputs, chunk.alive, packed_key=packed,
             sort_subset=subset)
         capacity = chunk.capacity
@@ -397,7 +397,7 @@ class PlanRunner:
         uniq = [frozenset(a.expr_id for a in node.group_attrs)]
         fds = [(uniq[0], frozenset(a.expr_id for a in node.output))]
         return Chunk(attrs=list(node.output), slots=slots,
-                     alive=K.alive_mask(capacity, n_groups), capacity=capacity,
+                     alive=occupied, capacity=capacity,
                      ranges=ranges, unique_sets=uniq, fds=fds)
 
     def _fill_agg_slots(self, node, results, slots, capacity):
@@ -471,8 +471,8 @@ class PlanRunner:
         # non-distinct part on raw input
         nd_inputs = [ai for ai, f in zip(agg_inputs, distinct_flags) if not f]
         if nd_inputs:
-            k1, v1, ng, res_nd = G.sort_groupby(key_data, key_valid, nd_inputs,
-                                                chunk.alive)
+            k1, v1, ng, res_nd = G.sort_groupby_compact(
+                key_data, key_valid, nd_inputs, chunk.alive)
             base_keys_out, base_valids_out, n_groups_out = k1, v1, ng
             it = iter(res_nd)
             for i, f in enumerate(distinct_flags):
@@ -482,14 +482,13 @@ class PlanRunner:
             if not f:
                 continue
             fn, vals, valid = ai
-            dk, dv, dn, _ = G.sort_groupby(
+            dk, dv, dd_alive, dn, _ = G.sort_groupby(
                 key_data + [vals], key_valid + [valid], [], chunk.alive)
-            dd_alive = K.alive_mask(capacity, dn)
             sub_keys = dk[:-1]
             sub_valids = dv[:-1]
             sub_vals = dk[-1]
             sub_valid = dv[-1]
-            k2, v2, ng2, res_d = G.sort_groupby(
+            k2, v2, ng2, res_d = G.sort_groupby_compact(
                 sub_keys, sub_valids, [(fn, sub_vals, sub_valid)], dd_alive)
             results[i] = res_d[0]
             if base_keys_out is None:
@@ -624,11 +623,10 @@ class PlanRunner:
             return None  # null semantics in min/max stats: fall back
         key_ranges = self._key_ranges(node.right_keys, build)
         packed = self._pack_sort_key(bk_data, [None] * len(bk_data), key_ranges)
-        out_keys, _, n_groups, results = G.sort_groupby(
+        out_keys, _, galive, _n_groups, results = G.sort_groupby(
             bk_data, [None] * len(bk_data),
             [("min", bx, None), ("max", bx, None)],
             build.alive, packed_key=packed)
-        galive = K.alive_mask(build.capacity, n_groups)
         # unique join: probe keys -> group row (group keys are unique)
         tsize = K.next_pow2(2 * build.capacity)
         table, _ = J.oa_build(out_keys, galive, tsize)
@@ -1013,13 +1011,13 @@ class PlanRunner:
             key_valid.append(v)
         key_ranges = [chunk.ranges.get(a.expr_id) for a in chunk.attrs]
         packed = self._pack_sort_key(key_data, key_valid, key_ranges)
-        out_keys, out_valids, n_groups, _ = G.sort_groupby(
+        out_keys, out_valids, occupied, _n_groups, _ = G.sort_groupby(
             key_data, key_valid, [], chunk.alive, packed_key=packed)
         slots = {}
         for a, kd, kv in zip(chunk.attrs, out_keys, out_valids):
             slots[a.expr_id] = (kd.astype(a.type.device_dtype), kv)
         return Chunk(attrs=list(chunk.attrs), slots=slots,
-                     alive=K.alive_mask(chunk.capacity, n_groups),
+                     alive=occupied,
                      capacity=chunk.capacity, ranges=dict(chunk.ranges),
                      unique_sets=[frozenset(a.expr_id for a in chunk.attrs)])
 

@@ -141,73 +141,95 @@ def sort_groupby(key_cols: List[jnp.ndarray],
                  alive: jnp.ndarray,
                  packed_key: Optional[jnp.ndarray] = None,
                  sort_subset: Optional[List[int]] = None):
-    """Sort-based group-by, scatter-collision-free.
+    """Sort-based group-by, gather/scatter-free.
 
-    TPU-shaped: after the lexsort, every segment is a contiguous run, so sums
-    and counts come from cumsum differences at run boundaries and min/max from
-    a segmented inclusive scan — no colliding scatters anywhere (TPU lowers
-    those to a serial path). The only scatters are boundary compactions with
-    unique indices.
+    TPU-shaped: ONE payload-carrying `lax.sort` moves the key(s) and every
+    aggregate input together (payload operands cost ~2ms/1M rows on v5e vs
+    ~15ms per post-hoc random gather), then per-segment results come from
+    segmented associative scans — no colliding scatters, no random gathers,
+    no compaction. Group outputs live at each segment's LAST sorted row.
 
-    Returns (out_key_cols, out_key_valids, n_groups, [(data, nn_count)...]).
-    Output arrays have input capacity; rows [0, n_groups) are live.
+    Returns (out_key_cols, out_key_valids, occupied_mask, n_groups,
+    [(data, nn_count)...]). Output arrays have input capacity; rows where
+    occupied_mask is True carry the group results (one per group).
     """
     capacity = alive.shape[0]
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+
+    # ---- assemble sort operands: keys first, then deduped payloads
     if packed_key is not None:
-        # planner-provided injective integer packing of the composite key:
-        # single-operand sort (TPU sort compile time scales badly with operands)
-        sort_keys = [packed_key]
+        # planner-provided injective integer packing of the composite key —
+        # fold aliveness into the key (packed values are < 2^62 / 2^31, so the
+        # dtype max is a safe dead-row sentinel)
+        sent = jnp.iinfo(packed_key.dtype).max
+        key_ops = [jnp.where(alive, packed_key, sent)]
     else:
         # sort_subset: a minimal key cover (ReduceGroupByAttributes analog) —
-        # functionally-dependent keys need not participate in the sort; their
-        # values are gathered from each segment's first row like any other key.
-        subset = sort_subset if sort_subset is not None \
-            else range(len(key_cols))
-        sort_keys = []
+        # functionally-dependent keys need not participate in the sort.
+        subset = list(sort_subset) if sort_subset is not None \
+            else list(range(len(key_cols)))
+        key_ops = [(~alive).astype(jnp.int8)]  # dead rows last
         for i in subset:
             col, valid = key_cols[i], key_valids[i]
             k = col
             if valid is not None:
                 # NULL group keys group together at the max sentinel
                 k = jnp.where(valid, col, max_sentinel(col.dtype))
-            sort_keys.append(k)
-    # lexsort: last key is primary; dead rows last via aliveness as the primary key
-    order = jnp.lexsort(tuple(reversed(sort_keys)) + ((~alive).astype(jnp.int8),))
-    s_alive = alive[order]
-    s_keys = [k[order] for k in sort_keys]
-    idx = jnp.arange(capacity)
-    change = (idx == 0)
-    for k in s_keys:
+            key_ops.append(k)
+    n_keys = len(key_ops)
+
+    payloads: List[jnp.ndarray] = []
+    payload_pos = {}  # id(array) -> operand index (dedup shared inputs)
+
+    def add_payload(arr):
+        if arr is None:
+            return None
+        pos = payload_pos.get(id(arr))
+        if pos is None:
+            pos = n_keys + len(payloads)
+            payload_pos[id(arr)] = pos
+            payloads.append(arr.astype(jnp.int8)
+                            if arr.dtype == jnp.bool_ else arr)
+        return pos
+
+    if packed_key is None:
+        add_payload(alive)
+    key_slots = [(add_payload(c), add_payload(v))
+                 for c, v in zip(key_cols, key_valids)]
+    agg_slots = [(add_payload(v), add_payload(vd))
+                 for _, v, vd in agg_specs]
+
+    sorted_ops = jax.lax.sort(tuple(key_ops) + tuple(payloads),
+                              num_keys=n_keys, is_stable=True)
+
+    def sp(pos, ref):
+        """Sorted payload at operand index pos, restored to ref's dtype."""
+        if pos is None:
+            return None
+        s = sorted_ops[pos]
+        return s.astype(jnp.bool_) if ref.dtype == jnp.bool_ else s
+
+    if packed_key is not None:
+        s_alive = sorted_ops[0] != jnp.iinfo(packed_key.dtype).max
+        s_change_keys = [sorted_ops[0]]
+    else:
+        s_alive = sp(payload_pos[id(alive)], alive)
+        s_change_keys = list(sorted_ops[1:n_keys])
+
+    # ---- segment boundaries (dead rows form a suffix)
+    change = iota == 0
+    for k in s_change_keys:
         change = change | (k != jnp.roll(k, 1))
     change = change & s_alive
-    seg_ids = jnp.cumsum(change.astype(jnp.int32)) - 1  # valid where s_alive
     n_groups = jnp.sum(change.astype(jnp.int32))
-    n_live = jnp.sum(s_alive.astype(jnp.int32))
-
-    # first sorted index of each segment, compacted to [0, n_groups)
-    # (unique destination indices -> fast scatter path)
-    dest = jnp.where(change, seg_ids, capacity)
-    first_idx = jnp.zeros((capacity,), jnp.int32).at[dest].set(
-        idx.astype(jnp.int32), mode="drop", unique_indices=True)
-    gidx = jnp.arange(capacity)
-    # last sorted index of segment g = first_idx[g+1]-1, or n_live-1 for the last
-    next_first = jnp.where(gidx + 1 < n_groups,
-                           first_idx[jnp.clip(gidx + 1, 0, capacity - 1)],
-                           n_live)
-    last_idx = next_first - 1
-    valid_g = gidx < n_groups
-    safe_first = jnp.clip(first_idx, 0, capacity - 1)
-    safe_last = jnp.clip(last_idx, 0, capacity - 1)
-
-    def run_sum(contrib):
-        p = jnp.cumsum(contrib)
-        total = p[safe_last]
-        below = jnp.where(first_idx > 0,
-                          p[jnp.clip(first_idx - 1, 0, capacity - 1)],
-                          jnp.zeros((), contrib.dtype))
-        return jnp.where(valid_g, total - below, jnp.zeros((), contrib.dtype))
+    # last row of each segment: next row starts a new one, is dead, or is end
+    nxt_change = jnp.roll(change, -1)
+    nxt_alive = jnp.roll(s_alive, -1)
+    last = s_alive & ((iota == capacity - 1) | nxt_change | ~nxt_alive)
 
     def seg_scan(contrib, combine):
+        """Segmented inclusive scan; value at each segment's last row is the
+        full-segment reduction."""
         def op(a, b):
             av, af = a
             bv, bf = b
@@ -216,39 +238,61 @@ def sort_groupby(key_cols: List[jnp.ndarray],
         return out
 
     results = []
-    for fn, vals, valid in agg_specs:
-        sv = vals[order] if vals is not None else None
-        svalid = valid[order] if valid is not None else None
+    for (fn, vals, valid), (vpos, vdpos) in zip(agg_specs, agg_slots):
+        sv = sp(vpos, vals) if vals is not None else None
+        svalid = sp(vdpos, valid) if valid is not None else None
         live = s_alive if svalid is None else (s_alive & svalid)
-        nn = run_sum(live.astype(jnp.int64))
+        nn = seg_scan(live.astype(jnp.int32), jnp.add).astype(jnp.int64)
         if fn == "count":
             data = nn
         elif fn in ("sum", "avg"):
             contrib = jnp.where(live, sv, jnp.zeros((), sv.dtype))
-            acc = run_sum(contrib)
+            acc = seg_scan(contrib, jnp.add)
             data = acc if fn == "sum" else \
                 acc.astype(jnp.float64) / jnp.maximum(nn, 1)
         elif fn == "min":
             contrib = jnp.where(live, sv, max_sentinel(sv.dtype))
-            data = seg_scan(contrib, jnp.minimum)[safe_last]
+            data = seg_scan(contrib, jnp.minimum)
         elif fn == "max":
             contrib = jnp.where(live, sv, min_sentinel(sv.dtype))
-            data = seg_scan(contrib, jnp.maximum)[safe_last]
+            data = seg_scan(contrib, jnp.maximum)
         else:
             raise ValueError(fn)
         results.append((data, nn))
 
-    # Group keys: first row of each segment, gathered to the front.
+    # Group keys: any row of the segment holds the group's key values; the
+    # occupied (last) rows are what callers read.
     out_keys = []
     out_valids = []
-    for col, valid in zip(key_cols, key_valids):
-        sc = col[order]
-        out_keys.append(sc[safe_first])
-        if valid is not None:
-            out_valids.append(valid[order][safe_first] & valid_g)
-        else:
-            out_valids.append(None)
-    return out_keys, out_valids, n_groups, results
+    for (cpos, vpos), col, valid in zip(key_slots, key_cols, key_valids):
+        out_keys.append(sp(cpos, col))
+        out_valids.append(sp(vpos, valid) if valid is not None else None)
+    return out_keys, out_valids, last, n_groups, results
+
+
+def sort_groupby_compact(key_cols, key_valids, agg_specs, alive,
+                         packed_key=None, sort_subset=None):
+    """sort_groupby + stable compaction of group rows to the front in
+    key-sorted order: rows [0, n_groups) are live. Key-sorted placement makes
+    outputs of *different* calls over the same key set positionally aligned
+    (the DISTINCT-aggregate merge relies on this, mirroring the reference's
+    distinctify tables, storage/AggregationOperationState.cpp)."""
+    from quickstep_tpu.ops.kernels import compact_order, multi_gather
+    out_keys, out_valids, mask, n_groups, results = sort_groupby(
+        key_cols, key_valids, agg_specs, alive, packed_key=packed_key,
+        sort_subset=sort_subset)
+    order = compact_order(mask)
+    flat = list(out_keys) + list(out_valids) + \
+        [d for d, _ in results] + [nn for _, nn in results]
+    g = multi_gather(flat, order)
+    k = len(out_keys)
+    r = len(results)
+    out_keys_c = g[:k]
+    out_valids_c = g[k:2 * k]
+    datas_c = g[2 * k:2 * k + r]
+    nns_c = g[2 * k + r:]
+    return out_keys_c, out_valids_c, n_groups, \
+        [(d, nn) for d, nn in zip(datas_c, nns_c)]
 
 
 # ---------------------------------------------------------------------

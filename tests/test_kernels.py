@@ -88,15 +88,17 @@ def test_sort_groupby_matches_dense():
     keys = rng.integers(0, 10, n)
     vals = rng.uniform(0, 100, n)
     alive = rng.random(n) < 0.8
-    out_keys, _, n_groups, results = G.sort_groupby(
+    out_keys, _, occupied, n_groups, results = G.sort_groupby(
         [jnp.asarray(keys)], [None],
         [("sum", jnp.asarray(vals), None), ("count", None, None)],
         jnp.asarray(alive))
     ng = int(n_groups)
+    occ = np.asarray(occupied)
+    assert int(occ.sum()) == ng
     got = {}
-    ks = np.asarray(out_keys[0])[:ng]
-    sums = np.asarray(results[0][0])[:ng]
-    cnts = np.asarray(results[1][0])[:ng]
+    ks = np.asarray(out_keys[0])[occ]
+    sums = np.asarray(results[0][0])[occ]
+    cnts = np.asarray(results[1][0])[occ]
     for k, s, c in zip(ks, sums, cnts):
         got[int(k)] = (round(float(s), 6), int(c))
     expect = {}
