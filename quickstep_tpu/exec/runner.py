@@ -632,8 +632,7 @@ class PlanRunner:
         table, _ = J.oa_build(out_keys, galive, tsize)
         gidx, matched = J.oa_probe(table, out_keys, pk_data, probe.alive)
         safe = jnp.clip(gidx, 0, build.capacity - 1)
-        gmin = results[0][0][safe]
-        gmax = results[1][0][safe]
+        gmin, gmax = K.multi_gather([results[0][0], results[1][0]], safe)
         px, pxv = probe.broadcast(*self._eval(probe, probe_expr))
         # exists x in group with (probe_val OP' x)? where op is probe OP build:
         # evaluate via extremes
@@ -764,20 +763,24 @@ class PlanRunner:
         if node.kind == "anti":
             return dataclasses.replace(probe, alive=probe.alive & ~matched)
 
-        # inner/left: gather build columns into probe order
+        # inner/left: gather build columns into probe order (one row-packed
+        # gather per lane dtype — see K.multi_gather)
         safe = jnp.clip(bidx, 0, build.capacity - 1)
         slots = dict(probe.slots)
         ranges_out = dict(probe.ranges)
+        bcols = []
         for a in build.attrs:
             d, v = build.slots[a.expr_id]
             d = jnp.asarray(d)
             if d.ndim == 0:
                 d = jnp.broadcast_to(d, (build.capacity,))
-            gd = d[safe]
+            bcols.append(d)
+            bcols.append(v)
+        gathered = K.multi_gather(bcols, safe)
+        for i, a in enumerate(build.attrs):
+            gd, gv = gathered[2 * i], gathered[2 * i + 1]
             if node.kind == "left":
-                gv = matched if v is None else (matched & v[safe])
-            else:
-                gv = None if v is None else v[safe]
+                gv = matched if gv is None else (matched & gv)
             slots[a.expr_id] = (gd, gv)
             ranges_out[a.expr_id] = build.ranges.get(a.expr_id)
         alive = probe.alive if node.kind == "left" else (probe.alive & matched)
@@ -845,21 +848,29 @@ class PlanRunner:
         bidx = rows.reshape(-1)
         ok = bidx >= 0
         safe_b = jnp.clip(bidx, 0, build.capacity - 1)
-        pidx = jnp.repeat(jnp.arange(probe.capacity), max_matches)
         slots = {}
         for a in probe.attrs:
             d, v = probe.slots[a.expr_id]
             d = jnp.asarray(d)
             if d.ndim == 0:
                 d = jnp.broadcast_to(d, (probe.capacity,))
-            slots[a.expr_id] = (d[pidx], None if v is None else v[pidx])
+            # probe rows repeat K times consecutively: a structured repeat, not
+            # a random gather (XLA lowers repeat as broadcast+reshape)
+            slots[a.expr_id] = (jnp.repeat(d, max_matches),
+                                None if v is None
+                                else jnp.repeat(v, max_matches))
+        bcols = []
         for a in build.attrs:
             d, v = build.slots[a.expr_id]
             d = jnp.asarray(d)
             if d.ndim == 0:
                 d = jnp.broadcast_to(d, (build.capacity,))
-            slots[a.expr_id] = (d[safe_b], None if v is None else (v[safe_b]))
-        alive = probe.alive[pidx] & ok
+            bcols.append(d)
+            bcols.append(v)
+        gathered = K.multi_gather(bcols, safe_b)
+        for i, a in enumerate(build.attrs):
+            slots[a.expr_id] = (gathered[2 * i], gathered[2 * i + 1])
+        alive = jnp.repeat(probe.alive, max_matches) & ok
         out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
                     capacity=cap,
                     ranges={**{a.expr_id: probe.ranges.get(a.expr_id)
@@ -873,7 +884,8 @@ class PlanRunner:
         if node.kind == "left":
             # keep unmatched probe rows once (k == 0 slot) with null build side
             first_slot = (jnp.arange(cap) % max_matches) == 0
-            unmatched = (counts[pidx] == 0) & first_slot & probe.alive[pidx]
+            unmatched = (jnp.repeat(counts, max_matches) == 0) & first_slot & \
+                jnp.repeat(probe.alive, max_matches)
             out.alive = out.alive | unmatched
             for a in build.attrs:
                 d, v = out.slots[a.expr_id]
@@ -886,12 +898,18 @@ class PlanRunner:
         (for residual evaluation in semi/anti expansion)."""
         safe = jnp.clip(bidx, 0, build.capacity - 1)
         slots = dict(probe.slots)
+        bcols = []
         for a in build.attrs:
             d, v = build.slots[a.expr_id]
             d = jnp.asarray(d)
             if d.ndim == 0:
                 d = jnp.broadcast_to(d, (build.capacity,))
-            slots[a.expr_id] = (d[safe], ok if v is None else (ok & v[safe]))
+            bcols.append(d)
+            bcols.append(v)
+        gathered = K.multi_gather(bcols, safe)
+        for i, a in enumerate(build.attrs):
+            gd, gv = gathered[2 * i], gathered[2 * i + 1]
+            slots[a.expr_id] = (gd, ok if gv is None else (ok & gv))
         return Chunk(attrs=list(probe.attrs) + list(build.attrs), slots=slots,
                      alive=probe.alive & ok, capacity=probe.capacity)
 
