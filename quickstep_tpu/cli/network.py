@@ -55,33 +55,44 @@ def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
 
 
 class QueryServer:
-    """Serves SendQuery requests against one Database (single execution thread —
-    queries are admitted in arrival order, like the reference's Foreman queue)."""
+    """Serves SendQuery requests against one Database.
 
-    def __init__(self, db, host: str = "127.0.0.1", port: int = 3000):
+    Concurrent clients are admitted and scheduled by a PolicyEnforcer
+    (exec/scheduler.py): up to `max_concurrent_queries` admitted at once,
+    dispatched fairly by (priority DESC, least-recently-served session,
+    arrival) — the reference's multi-query admission semantics
+    (query_execution/PolicyEnforcerSingleNode.cpp:42-56). Requests may carry
+    an optional integer "priority" (parser ParsePriority analog)."""
+
+    def __init__(self, db, host: str = "127.0.0.1", port: int = 3000,
+                 max_concurrent_queries: int = 8):
+        from quickstep_tpu.exec.scheduler import PolicyEnforcer
         self.db = db
-        self._lock = threading.Lock()
+        self.enforcer = PolicyEnforcer(
+            db.execute, max_concurrent_queries=max_concurrent_queries)
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                session = f"{self.client_address[0]}:{self.client_address[1]}"
                 while True:
                     req = _recv_frame(self.request)
                     if req is None:
                         return
-                    _send_frame(self.request, outer._run(req))
+                    _send_frame(self.request, outer._run(req, session))
 
         self.server = socketserver.ThreadingTCPServer((host, port), Handler)
         self.server.daemon_threads = True
         self.port = self.server.server_address[1]
 
-    def _run(self, req: dict) -> dict:
+    def _run(self, req: dict, session: str = "default") -> dict:
         from quickstep_tpu.errors import QuickstepError, SqlError
         sql = req.get("query", "")
+        priority = int(req.get("priority", 0))
         t0 = time.perf_counter()
         try:
-            with self._lock:
-                res = self.db.execute(sql)
+            res = self.enforcer.submit(sql, session=session,
+                                       priority=priority)
             out = {
                 "stdout": res.to_table() if res and res.column_names else
                 (res.message or f"{res.rows_affected} rows affected."
@@ -105,6 +116,7 @@ class QueryServer:
     def shutdown(self):
         self.server.shutdown()
         self.server.server_close()
+        self.enforcer.shutdown()
 
 
 class QueryClient:
