@@ -218,6 +218,17 @@ class Executor:
                 sliced = (tuple(d[:prefix] for d in datas),
                           tuple(None if v is None else v[:prefix]
                                 for v in valids))
+                if self.mesh is not None and jax.process_count() > 1:
+                    # multi-host: the result prefix + control scalars must be
+                    # fetchable on every process -> replicate (all-gather at
+                    # the program tail; conductor-and-peers all see results)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    rep = NamedSharding(self.mesh, P())
+                    sliced = jax.lax.with_sharding_constraint(sliced, rep)
+                    count = jax.lax.with_sharding_constraint(count, rep)
+                    return datas, valids, sliced, count, \
+                        jax.lax.with_sharding_constraint(dict(runner.flags),
+                                                         rep)
                 return datas, valids, sliced, count, dict(runner.flags)
             cached = jax.jit(fn)
             self._compile_cache[fp] = cached
@@ -314,7 +325,11 @@ class Executor:
         m = min(capacity, K.next_pow2(max(n, 8)))
         sliced_d = [d[:m] for d in datas]
         sliced_v = [None if v is None else v[:m] for v in valids]
-        host_d, host_v = jax.device_get((sliced_d, sliced_v))
+        if jax.process_count() > 1:
+            from quickstep_tpu.parallel.multihost import all_gather_to_host
+            host_d, host_v = all_gather_to_host((sliced_d, sliced_v))
+        else:
+            host_d, host_v = jax.device_get((sliced_d, sliced_v))
         host_d = [np.asarray(d)[:n] for d in host_d]
         host_v = [None if v is None else np.asarray(v)[:n] for v in host_v]
         return host_d, host_v, n
@@ -413,9 +428,20 @@ class Executor:
             axis = self.config.default_mesh_axis
             spec = P(axis) if n >= self.config.replicate_threshold_rows else P()
             sharding = NamedSharding(self.mesh, spec)
-            cols = jax.device_put(host_cols, sharding)
-            cols["__num_rows__"] = jax.device_put(
-                jnp.asarray(n, jnp.int32), NamedSharding(self.mesh, P()))
+            if jax.process_count() > 1:
+                # multi-host: every process holds the full host table (the
+                # CatalogDatabaseCache analog) but transfers only the rows its
+                # local devices own (block locality)
+                from quickstep_tpu.parallel.multihost import make_global_array
+                cols = jax.tree_util.tree_map(
+                    lambda a: make_global_array(np.asarray(a), sharding),
+                    host_cols)
+                cols["__num_rows__"] = make_global_array(
+                    np.asarray(n, np.int32), NamedSharding(self.mesh, P()))
+            else:
+                cols = jax.device_put(host_cols, sharding)
+                cols["__num_rows__"] = jax.device_put(
+                    jnp.asarray(n, jnp.int32), NamedSharding(self.mesh, P()))
         else:
             cols = jax.device_put(host_cols)
             cols["__num_rows__"] = jnp.asarray(n, jnp.int32)
