@@ -45,7 +45,9 @@ class Executor:
         self.config = config
         self._device_cache: Dict[Tuple[str, int], Tuple[dict, dict]] = {}
         self._compile_cache: Dict[tuple, object] = {}
+        self._learned_overrides: Dict[tuple, Dict[int, JoinOverride]] = {}
         self.last_profile: Optional[dict] = None
+        self.last_attempts = 0
         self.mesh = None
         self._device_lru: Dict[tuple, int] = {}
         self._lru_tick = 0
@@ -154,13 +156,25 @@ class Executor:
             device_plan = device_plan.input
 
         inputs, meta = self._collect_inputs(device_plan)
-        overrides: Dict[int, JoinOverride] = {}
+        # Adaptive re-optimization (ExecutionStats-feedback analog): join
+        # strategy corrections discovered at runtime (duplicate build keys,
+        # expansion overflow) are remembered per plan shape + table versions,
+        # so warm re-runs take the corrected single-pass plan instead of
+        # re-paying the failed attempt every execution.
+        learn_key = (_fingerprint(device_plan),
+                     tuple(sorted((k, m["version"]) for k, m in meta.items())))
+        overrides: Dict[int, JoinOverride] = {
+            k: dataclasses.replace(v)
+            for k, v in self._learned_overrides.get(learn_key, {}).items()}
         for _attempt in range(8):
+            self.last_attempts = _attempt + 1
             outs, flags, out_attrs = self._compile_and_run(
                 device_plan, inputs, meta, overrides)
             retry = self._check_flags(device_plan, flags, overrides)
             if not retry:
                 break
+            self._learned_overrides[learn_key] = {
+                k: dataclasses.replace(v) for k, v in overrides.items()}
         else:
             raise ExecutionError("join fallback did not converge")
 
