@@ -40,7 +40,9 @@ class Config:
     join_output_factor: float = 1.5     # capacity estimate multiplier for many-many joins
     default_mesh_axis: str = "x"
     preload_buffer_pool: bool = False   # device-warm base tables at startup
-    hbm_budget_bytes: int = 0           # 0 = unlimited; else LRU-evict device tables
+    hbm_budget_bytes: int = 0           # 0 = unlimited; else evict device tables
+    eviction_policy: str = "lru-k"      # lru-k | lru | uniform-random | evict-any
+    eviction_lru_k: int = 2             # K for lru-k (LRUKEvictionPolicyFactory analog)
     bloom_filter_bits_per_key: int = 8  # LIP filter sizing
     # --- correctness / testing ---
     float_print_decimals: int = 2

@@ -49,8 +49,9 @@ class Executor:
         self.last_profile: Optional[dict] = None
         self.last_attempts = 0
         self.mesh = None
-        self._device_lru: Dict[tuple, int] = {}
-        self._lru_tick = 0
+        from quickstep_tpu.storage.eviction import make_policy
+        self._eviction = make_policy(config.eviction_policy,
+                                     k=config.eviction_lru_k)
         if config.distributed:
             from quickstep_tpu.parallel.mesh import make_mesh
             if len(jax.devices()) > 1:
@@ -66,8 +67,9 @@ class Executor:
 
     def _evict_for(self, incoming: CatalogRelation) -> None:
         """HBM buffer management (StorageManager::makeRoomForBlock +
-        EvictionPolicy LRU analog): keep resident device tables under the
-        budget by dropping least-recently-used ones (re-faulted on next use)."""
+        EvictionPolicy analog): keep resident device tables under the budget
+        by dropping victims chosen by the configured policy (LRU-K default;
+        re-faulted on next use)."""
         budget = self.config.hbm_budget_bytes
         if not budget:
             return
@@ -77,9 +79,9 @@ class Executor:
             rel = self.db.get_relation(name)
             resident[(name, ver)] = self._table_bytes(rel) if rel else 0
         while resident and sum(resident.values()) + need > budget:
-            victim = min(resident, key=lambda k: self._device_lru.get(k, 0))
+            victim = self._eviction.choose_victim(resident)
             del self._device_cache[victim]
-            self._device_lru.pop(victim, None)
+            self._eviction.block_evicted(victim)
             del resident[victim]
 
     def preload(self) -> None:
@@ -400,12 +402,12 @@ class Executor:
         key = (rel.name, rel.version)
         hit = self._device_cache.get(key)
         if hit is not None:
-            self._device_lru[key] = self._lru_tick = self._lru_tick + 1
+            self._eviction.block_referenced(key)
             return hit
         # drop stale versions of this relation
         for k in [k for k in self._device_cache if k[0] == rel.name]:
             del self._device_cache[k]
-            self._device_lru.pop(k, None)
+            self._eviction.block_evicted(k)
         self._evict_for(rel)
         n = rel.data.num_rows
         capacity = self._bucket(n)
@@ -464,7 +466,7 @@ class Executor:
              "unique_pairs": [tuple(p) for p in st.unique_pairs]
              if st.exact else []}
         self._device_cache[key] = (cols, m)
-        self._device_lru[key] = self._lru_tick = self._lru_tick + 1
+        self._eviction.block_referenced(key)
         return cols, m
 
     def _bucket(self, n: int) -> int:
