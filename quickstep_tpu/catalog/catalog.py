@@ -43,6 +43,9 @@ class CatalogRelationStatistics:
     max_values: Dict[str, object] = dataclasses.field(default_factory=dict)
     num_distinct: Dict[str, int] = dataclasses.field(default_factory=dict)
     unique_pairs: List[List[str]] = dataclasses.field(default_factory=list)
+    # per-column heaviest duplicate count (max group size): bounds the match
+    # run length when the column is a join key -> sizes expansion joins
+    max_counts: Dict[str, int] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -109,7 +112,9 @@ class CatalogRelation:
                 continue
             st.min_values[a.name] = _stat_value(col, arr.min())
             st.max_values[a.name] = _stat_value(col, arr.max())
-            st.num_distinct[a.name] = int(np.unique(arr).size)
+            _, counts = np.unique(arr, return_counts=True)
+            st.num_distinct[a.name] = int(counts.size)
+            st.max_counts[a.name] = int(counts.max())
         # composite-key detection (partsupp-style): when no single column is
         # unique, check whether the leading pair of integer columns is — feeds
         # unique-build join planning (the reference gets this from rebuilt
@@ -250,7 +255,8 @@ class Catalog:
 def _stats_to_json(st: CatalogRelationStatistics) -> dict:
     return {"exact": st.exact, "num_tuples": st.num_tuples,
             "min_values": st.min_values, "max_values": st.max_values,
-            "num_distinct": st.num_distinct, "unique_pairs": st.unique_pairs}
+            "num_distinct": st.num_distinct, "unique_pairs": st.unique_pairs,
+            "max_counts": st.max_counts}
 
 
 def _stats_from_json(j: Optional[dict]) -> CatalogRelationStatistics:
@@ -260,4 +266,5 @@ def _stats_from_json(j: Optional[dict]) -> CatalogRelationStatistics:
         exact=j.get("exact", False), num_tuples=j.get("num_tuples"),
         min_values=j.get("min_values", {}), max_values=j.get("max_values", {}),
         num_distinct=j.get("num_distinct", {}),
-        unique_pairs=j.get("unique_pairs", []))
+        unique_pairs=j.get("unique_pairs", []),
+        max_counts=j.get("max_counts", {}))

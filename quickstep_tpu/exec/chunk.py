@@ -27,6 +27,10 @@ class Chunk:
     ranges: Dict[int, Optional[Tuple[int, int]]] = dataclasses.field(
         default_factory=dict)
     unique_sets: List[frozenset] = dataclasses.field(default_factory=list)
+    # per-attr upper bound on duplicate count (heaviest value): sizes the
+    # expansion-join K when the attr is a join key. Filters preserve it
+    # (still an upper bound); projections propagate for pass-through attrs.
+    max_counts: Dict[int, int] = dataclasses.field(default_factory=dict)
     # row-wise functional dependencies (determinant ids -> dependent ids):
     # within any single row, the determinant values fix the dependents. Feeds
     # the ReduceGroupByAttributes optimization (sort by a minimal key cover).

@@ -464,7 +464,8 @@ class Executor:
         m = {"capacity": capacity, "ranges": ranges,
              "unique_cols": unique_cols, "version": rel.version,
              "unique_pairs": [tuple(p) for p in st.unique_pairs]
-             if st.exact else []}
+             if st.exact else [],
+             "max_counts": dict(st.max_counts) if st.exact else {}}
         self._device_cache[key] = (cols, m)
         self._eviction.block_referenced(key)
         return cols, m

@@ -111,11 +111,15 @@ class PlanRunner:
         slots = {}
         ranges = {}
         unique_sets = []
+        max_counts = {}
         for a in node.attrs:
             data, valid = cols[a.name]
             slots[a.expr_id] = (data, valid)
             r = meta["ranges"].get(a.name)
             ranges[a.expr_id] = r
+            mc = meta.get("max_counts", {}).get(a.name)
+            if mc is not None:
+                max_counts[a.expr_id] = mc
             if a.name in meta.get("unique_cols", ()):
                 unique_sets.append(frozenset([a.expr_id]))
         by_name = {a.name: a.expr_id for a in node.attrs}
@@ -127,7 +131,7 @@ class PlanRunner:
         fds = [(u, all_ids) for u in unique_sets]
         chunk = Chunk(attrs=list(node.attrs), slots=slots, alive=alive,
                       capacity=capacity, ranges=ranges, unique_sets=unique_sets,
-                      fds=fds)
+                      fds=fds, max_counts=max_counts)
         if node.sample_kind:
             # TUPLESAMPLE/BLOCKSAMPLE n PERCENT (reference SampleOperator.hpp:60).
             # Deterministic hash-based Bernoulli sample on the row index.
@@ -164,7 +168,10 @@ class PlanRunner:
                for det, dep in inner.fds if all(i in remap for i in det)]
         return Chunk(attrs=list(node.attrs), slots=slots, alive=inner.alive,
                      capacity=inner.capacity, ranges=ranges, unique_sets=uniq,
-                     fds=fds)
+                     fds=fds,
+                     max_counts={remap[i]: v
+                                 for i, v in inner.max_counts.items()
+                                 if i in remap})
 
     # ----------------------------------------------------------------
     # filter / project
@@ -204,9 +211,11 @@ class PlanRunner:
         fds = [(frozenset(passthru[i] for i in det),
                 frozenset(passthru[i] for i in dep if i in passthru))
                for det, dep in chunk.fds if all(i in passthru for i in det)]
+        mcs = {a: chunk.max_counts[i] for i, a in passthru.items()
+               if i in chunk.max_counts}
         return Chunk(attrs=list(node.attrs), slots=slots, alive=chunk.alive,
                      capacity=chunk.capacity, ranges=ranges, unique_sets=uniq,
-                     fds=fds)
+                     fds=fds, max_counts=mcs)
 
     def _bind_subqueries(self, e: Expr):
         """Pre-execute uncorrelated scalar subqueries referenced by e."""
@@ -684,7 +693,7 @@ class PlanRunner:
                                                  bk_data, pk_data)
             sorted_key, order = J.sorted_build(packed_p, probe.alive)
             kmax = (ov.max_matches if ov and ov.max_matches
-                    else self._default_k(node))
+                    else self._default_k(node, probe, node.left_keys))
             rows, counts = J.expand_probe(sorted_key, order, packed_b,
                                           build.alive, kmax)
             okey = f"join_overflow_{idx}"
@@ -821,7 +830,7 @@ class PlanRunner:
         packed_b, packed_p = self._pack_keys(node, build, probe, bk_data, pk_data)
         sorted_key, order = J.sorted_build(packed_b, build.alive)
         max_matches = (ov.max_matches if ov and ov.max_matches
-                       else self._default_k(node))
+                       else self._default_k(node, build, node.right_keys))
         rows, counts = J.expand_probe(sorted_key, order, packed_p, probe.alive,
                                       max_matches)
         self.flags[f"join_overflow_{self.node_index[id(node)]}"] = \
@@ -942,7 +951,20 @@ class PlanRunner:
         hp = hash_combine([hash64(c.astype(jnp.int64)) for c in pk_data])
         return hb.astype(jnp.int64), hp.astype(jnp.int64)
 
-    def _default_k(self, node) -> int:
+    def _default_k(self, node, build=None, keys=None) -> int:
+        """Expansion width K: the max run of equal build keys. Exact stats
+        (analyze's per-column heaviest-duplicate count) give an upper bound —
+        composite runs can't exceed the tightest single-key bound; without
+        stats fall back to 8 and rely on the overflow-retry loop."""
+        if build is not None and keys:
+            bounds = [build.max_counts[e.expr_id] for e in keys
+                      if isinstance(e, Attr) and e.expr_id in build.max_counts]
+            if bounds:
+                k = min(bounds)
+                # cap: residual evaluation unrolls K iterations in the traced
+                # program; past the cap start smaller and let overflow-retry
+                # escalate (learned thereafter)
+                return max(1, min(k, 256))
         return 8
 
     def _cross_join(self, node: L.Join) -> Chunk:
