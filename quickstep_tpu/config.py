@@ -37,6 +37,12 @@ class Config:
     row_capacity_bucket: int = 1024     # pad row counts to multiples of this (min bucket)
     geometric_buckets: bool = True      # bucket capacities at powers of two above the min
     collision_free_domain_limit: int = 1 << 22  # max dense group-by domain (CollisionFreeVectorTable analog)
+    # direct-address join table: dense int32 array indexed by (key - lo). One
+    # scatter to build, one gather to probe — the MXU-era answer to the
+    # reference's SimpleScalarSeparateChainingHashTable. Allowed when the key
+    # domain is bounded AND not too sparse relative to the build side (stats).
+    direct_join_domain_limit: int = 1 << 27   # <=536MB int32 table (SF10 orderkey=60M)
+    direct_join_density: float = 16.0         # domain <= density * build rows
     join_output_factor: float = 1.5     # capacity estimate multiplier for many-many joins
     default_mesh_axis: str = "x"
     preload_buffer_pool: bool = False   # device-warm base tables at startup

@@ -65,20 +65,21 @@ class Executor:
                 total += np.asarray(c.valid).nbytes
         return total
 
-    def _evict_for(self, incoming: CatalogRelation) -> None:
+    def _evict_for(self, incoming_key, need: int) -> None:
         """HBM buffer management (StorageManager::makeRoomForBlock +
         EvictionPolicy analog): keep resident device tables under the budget
         by dropping victims chosen by the configured policy (LRU-K default;
-        re-faulted on next use)."""
+        re-faulted on next use). Residency is column-granular: an entry's cost
+        is the bytes of the columns actually transferred."""
         budget = self.config.hbm_budget_bytes
         if not budget:
             return
-        need = self._table_bytes(incoming)
-        resident = {}
-        for (name, ver) in self._device_cache:
-            rel = self.db.get_relation(name)
-            resident[(name, ver)] = self._table_bytes(rel) if rel else 0
-        while resident and sum(resident.values()) + need > budget:
+        resident = {k: m.get("bytes", 0)
+                    for k, (_, m) in self._device_cache.items()
+                    if k != incoming_key}
+        held = self._device_cache.get(incoming_key)
+        held_bytes = held[1].get("bytes", 0) if held else 0
+        while resident and sum(resident.values()) + held_bytes + need > budget:
             victim = self._eviction.choose_victim(resident)
             del self._device_cache[victim]
             self._eviction.block_evicted(victim)
@@ -88,7 +89,7 @@ class Executor:
         """Warm the device cache for every relation (PreloaderThread analog,
         flag preload_buffer_pool)."""
         for rel in self.db.relations.values():
-            self._device_table(rel)
+            self._device_table(rel, None)
 
     @property
     def db(self):
@@ -212,7 +213,7 @@ class Executor:
         if cached is None:
             def fn(dev_inputs):
                 runner = PlanRunner(plan, dev_inputs, meta, self.config,
-                                    overrides)
+                                    overrides, mesh=self.mesh)
                 chunk = runner.exec(plan)
                 count = jnp.sum(chunk.alive.astype(jnp.int32))
                 # gather-based stable compaction: ONE payload sort + ONE
@@ -248,9 +249,19 @@ class Executor:
                 return datas, valids, sliced, count, dict(runner.flags)
             cached = jax.jit(fn)
             self._compile_cache[fp] = cached
+        t0 = time.perf_counter()
         datas, valids, sliced, count, flags = cached(inputs)
+        jax.block_until_ready(count)
+        t1 = time.perf_counter()
         # ONE batched D2H round-trip for count + runtime flags + result prefix
         n, host_flags, host_sliced = jax.device_get((count, flags, sliced))
+        self.last_flags = host_flags   # introspection (tests / \explain_analyze)
+        t2 = time.perf_counter()
+        # per-query phase profile (Worker steady_clock timing analog,
+        # query_execution/Worker.cpp:136): device-program time vs D2H pull
+        self.last_profile = {"exec_ms": (t1 - t0) * 1000,
+                             "pull_ms": (t2 - t1) * 1000,
+                             "scan_bytes": getattr(self, "last_scan_bytes", 0)}
         outs = (datas, valids, int(n), host_sliced)
         return outs, host_flags, out_attrs
 
@@ -271,6 +282,13 @@ class Executor:
                 prev = overrides.get(node_id) or JoinOverride(strategy="expand")
                 prev.strategy = "expand"
                 prev.max_matches = (prev.max_matches or 8) * 4
+                overrides[node_id] = prev
+                retry = True
+            elif kind == "shuffle_overflow":
+                # radix-exchange bucket overflow (skewed partition): escalate
+                # the per-partition bucket capacity and re-run
+                prev = overrides.get(node_id) or JoinOverride()
+                prev.shuffle_factor = max(prev.shuffle_factor, 1) * 4
                 overrides[node_id] = prev
                 retry = True
         return retry
@@ -372,11 +390,12 @@ class Executor:
     # input preparation (StorageManager role: host->HBM with padding)
     # ----------------------------------------------------------------
     def _collect_inputs(self, plan: L.LogicalNode):
-        names = set()
+        needed: Dict[str, set] = {}
 
         def walk(node):
             if isinstance(node, L.TableScan):
-                names.add(node.relation_name)
+                s = needed.setdefault(node.relation_name, set())
+                s.update(a.name for a in node.attrs)
             for c in node.children():
                 walk(c)
             # joins/subplans hold nested plans in expressions too
@@ -391,49 +410,83 @@ class Executor:
         walk(plan)
         inputs = {}
         meta = {}
-        for name in names:
+        scan_bytes = 0
+        for name, colnames in needed.items():
             rel = self.db.get_relation(name)
-            cols, m = self._device_table(rel)
-            inputs[name] = cols
+            cols, m = self._device_table(rel, colnames)
+            # pass only this query's columns into the jitted program (stable
+            # pytree shape per plan fingerprint even as the cache grows)
+            sub = {c: cols[c] for c in colnames}
+            sub["__num_rows__"] = cols["__num_rows__"]
+            inputs[name] = sub
             meta[name] = m
+            for c in colnames:
+                col = rel.data.columns[c]
+                scan_bytes += np.asarray(col.data).nbytes
+                if col.valid is not None:
+                    scan_bytes += np.asarray(col.valid).nbytes
+        # roofline accounting: unpadded bytes of every column the plan reads
+        self.last_scan_bytes = scan_bytes
         return inputs, meta
 
-    def _device_table(self, rel: CatalogRelation):
+    def _device_table(self, rel: CatalogRelation, needed):
+        """Column-granular HBM residency (buffer-pool analog at column rather
+        than table granularity): only the plan-referenced columns are padded,
+        transferred, and kept resident; later queries fault in just their
+        missing columns. needed=None means all columns (preload)."""
         key = (rel.name, rel.version)
+        names = [a.name for a in rel.attributes
+                 if needed is None or a.name in needed]
         hit = self._device_cache.get(key)
         if hit is not None:
-            self._eviction.block_referenced(key)
-            return hit
-        # drop stale versions of this relation
-        for k in [k for k in self._device_cache if k[0] == rel.name]:
-            del self._device_cache[k]
-            self._eviction.block_evicted(k)
-        self._evict_for(rel)
+            cols, m = hit
+            missing = [c for c in names if c not in cols]
+            if not missing:
+                self._eviction.block_referenced(key)
+                return cols, m
+        else:
+            # drop stale versions of this relation
+            for k in [k for k in self._device_cache if k[0] == rel.name]:
+                del self._device_cache[k]
+                self._eviction.block_evicted(k)
+            cols, m = None, None
+            missing = names
+
         n = rel.data.num_rows
-        capacity = self._bucket(n)
-        host_cols = {}
-        ranges = {}
-        unique_cols = set()
+        capacity = m["capacity"] if m is not None else self._bucket(n)
         st = rel.statistics
-        for attr in rel.attributes:
-            col = rel.data.columns[attr.name]
+        host_cols = {}
+        new_bytes = 0
+        ranges = dict(m["ranges"]) if m is not None else {}
+        unique_cols = set(m["unique_cols"]) if m is not None else set()
+        for cname in missing:
+            attr = rel.attribute_by_name(cname)
+            col = rel.data.columns[cname]
             arr = np.asarray(col.data)
+            new_bytes += arr.nbytes + (0 if col.valid is None else n)
             pad = capacity - arr.shape[0]
             data = np.pad(arr, (0, pad))
             valid = None
             if col.valid is not None:
                 valid = np.pad(np.asarray(col.valid), (0, pad))
-            host_cols[attr.name] = (data, valid)
-            if arr.size:
-                lv = arr if col.valid is None else arr[np.asarray(col.valid)]
-                if lv.size and np.issubdtype(arr.dtype, np.integer):
-                    ranges[attr.name] = (int(lv.min()), int(lv.max()))
-            if attr.unique:
-                unique_cols.add(attr.name)
-            if st.exact and st.num_tuples and \
-                    st.num_distinct.get(attr.name) == st.num_tuples:
-                unique_cols.add(attr.name)
-        # One batched transfer for the whole table (the tunnel's per-call
+            host_cols[cname] = (data, valid)
+            if np.issubdtype(arr.dtype, np.integer):
+                if st.exact and cname in st.min_values and \
+                        not col.type.is_string:
+                    ranges[cname] = (int(st.min_values[cname]),
+                                     int(st.max_values[cname]))
+                elif col.type.is_string and col.dictionary is not None:
+                    # dict codes live in [0, |dict|): a conservative range
+                    ranges[cname] = (0, max(len(col.dictionary) - 1, 0))
+                elif arr.size:
+                    lv = arr if col.valid is None else arr[np.asarray(col.valid)]
+                    if lv.size:
+                        ranges[cname] = (int(lv.min()), int(lv.max()))
+            if attr.unique or (st.exact and st.num_tuples and
+                               st.num_distinct.get(cname) == st.num_tuples):
+                unique_cols.add(cname)
+        self._evict_for(key, new_bytes)
+        # One batched transfer for all missing columns (the tunnel's per-call
         # latency dominates column-at-a-time device_put)
         if self.mesh is not None:
             # Distributed placement (GSPMD): big tables row-sharded over the
@@ -449,24 +502,32 @@ class Executor:
                 # CatalogDatabaseCache analog) but transfers only the rows its
                 # local devices own (block locality)
                 from quickstep_tpu.parallel.multihost import make_global_array
-                cols = jax.tree_util.tree_map(
+                new_cols = jax.tree_util.tree_map(
                     lambda a: make_global_array(np.asarray(a), sharding),
                     host_cols)
-                cols["__num_rows__"] = make_global_array(
+                num_rows = make_global_array(
                     np.asarray(n, np.int32), NamedSharding(self.mesh, P()))
             else:
-                cols = jax.device_put(host_cols, sharding)
-                cols["__num_rows__"] = jax.device_put(
+                new_cols = jax.device_put(host_cols, sharding)
+                num_rows = jax.device_put(
                     jnp.asarray(n, jnp.int32), NamedSharding(self.mesh, P()))
         else:
-            cols = jax.device_put(host_cols)
-            cols["__num_rows__"] = jnp.asarray(n, jnp.int32)
-        m = {"capacity": capacity, "ranges": ranges,
-             "unique_cols": unique_cols, "version": rel.version,
-             "unique_pairs": [tuple(p) for p in st.unique_pairs]
-             if st.exact else [],
-             "max_counts": dict(st.max_counts) if st.exact else {}}
-        self._device_cache[key] = (cols, m)
+            new_cols = jax.device_put(host_cols)
+            num_rows = jnp.asarray(n, jnp.int32)
+
+        if cols is None:
+            cols = {"__num_rows__": num_rows}
+            m = {"capacity": capacity, "ranges": ranges,
+                 "unique_cols": unique_cols, "version": rel.version,
+                 "bytes": 0,
+                 "unique_pairs": [tuple(p) for p in st.unique_pairs]
+                 if st.exact else [],
+                 "max_counts": dict(st.max_counts) if st.exact else {}}
+            self._device_cache[key] = (cols, m)
+        cols.update(new_cols)
+        m["ranges"] = ranges
+        m["unique_cols"] = unique_cols
+        m["bytes"] = m.get("bytes", 0) + new_bytes
         self._eviction.block_referenced(key)
         return cols, m
 

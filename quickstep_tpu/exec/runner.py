@@ -50,12 +50,14 @@ class JoinOverride:
     """Executor-supplied retry directives keyed by plan-node id."""
     strategy: Optional[str] = None    # force 'expand'
     max_matches: Optional[int] = None
+    shuffle_factor: int = 1           # bucket-capacity escalation on shuffle overflow
 
 
 class PlanRunner:
     def __init__(self, plan: L.LogicalNode, inputs: Dict[str, Dict[str, object]],
                  input_meta: Dict[str, dict], config: Config,
-                 overrides: Optional[Dict[int, JoinOverride]] = None):
+                 overrides: Optional[Dict[int, JoinOverride]] = None,
+                 mesh=None):
         """inputs: relation name -> {attr name -> (data, valid), "__num_rows__"}.
         input_meta: relation name -> {capacity, ranges, unique_cols}.
         overrides are keyed by structural (preorder) join indices so they survive
@@ -63,6 +65,7 @@ class PlanRunner:
         self.inputs = inputs
         self.input_meta = input_meta
         self.config = config
+        self.mesh = mesh
         self.overrides = overrides or {}
         self.flags: Dict[str, object] = {}   # runtime check flags (dup keys, overflow)
         self._memo: Dict[int, Chunk] = {}    # shared subplans / scalar subqueries
@@ -564,8 +567,9 @@ class PlanRunner:
         if node.kind in ("semi", "anti") and node.residual is None and \
                 len(bk_data) == 1 and self.config.use_filter_joins:
             r = self._key_ranges(node.right_keys, build)[0]
-            if r is not None and (r[1] - r[0] + 1) <= \
-                    self.config.collision_free_domain_limit:
+            if r is not None and (r[1] - r[0] + 1) <= min(
+                    self.config.direct_join_domain_limit,
+                    int(self.config.direct_join_density * build.capacity)):
                 from quickstep_tpu.ops import bloom as B
                 lo, domain = r[0], r[1] - r[0] + 1
                 bits = B.exact_filter_build(bk_data[0], build.alive, lo, domain)
@@ -601,12 +605,162 @@ class PlanRunner:
             out = self._semi_stats_join(node, probe, build, pk_data, bk_data)
             if out is not None:
                 return na_correct(out)
+        out = self._shuffle_join(node, probe, build, pk_data, bk_data, ov,
+                                 strategy, build_unique)
+        if out is not None:
+            return na_correct(out)
+        return na_correct(self._join_local(
+            node, probe, build, pk_data, bk_data, ov, strategy, build_unique))
+
+    def _join_local(self, node, probe, build, pk_data, bk_data, ov, strategy,
+                    build_unique):
+        """Communication-free join core on (device-local or whole) chunks."""
         if strategy == "unique":
-            return na_correct(self._unique_join(
-                node, probe, build, pk_data, bk_data,
-                check_dups=not build_unique))
-        return na_correct(self._expand_join(
-            node, probe, build, pk_data, bk_data, ov))
+            return self._unique_join(node, probe, build, pk_data, bk_data,
+                                     check_dups=not build_unique)
+        return self._expand_join(node, probe, build, pk_data, bk_data, ov)
+
+    def _shuffle_join(self, node, probe, build, pk_data, bk_data, ov,
+                      strategy, build_unique) -> Optional[Chunk]:
+        """Key-partitioned (radix all_to_all) join over the mesh — the
+        Partition-rule + PartitionAwareInsertDestination + PartitionedHashTablePool
+        analog (query_optimizer/rules/Partition.hpp:45-87,
+        storage/PartitionedHashTablePool.hpp:49). Both sides are hash-routed by
+        join key over ICI inside one shard_map region; the join core then runs
+        device-local. Returns None when not applicable (no mesh / small build
+        side better served by broadcast / unsupported join shape)."""
+        mesh = self.mesh
+        if mesh is None or not self.config.use_partition_rule:
+            return None
+        axis = self.config.default_mesh_axis
+        n = int(mesh.shape[axis])
+        if n <= 1:
+            return None
+        if node.kind not in ("inner", "left", "semi", "anti"):
+            return None
+        if getattr(node, "null_aware", False):
+            return None  # needs global any(build.alive): keep the GSPMD path
+        # broadcast-join (replicated build) is cheaper for small build sides
+        if build.capacity < self.config.replicate_threshold_rows:
+            return None
+        if probe.capacity % n or build.capacity % n:
+            return None
+
+        from quickstep_tpu.parallel import shuffle as SH
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        packed_b, packed_p = self._pack_keys(node, build, probe,
+                                             bk_data, pk_data)
+        # == marshal payloads: key exprs + every attr column (+ valid masks) ==
+        def flatten_side(chunk, key_cols):
+            arrays = [c for c in key_cols]
+            layout = []   # (expr_id, has_valid)
+            for a in chunk.attrs:
+                d, v = chunk.slots[a.expr_id]
+                d = jnp.asarray(d)
+                if d.ndim == 0:
+                    d = jnp.broadcast_to(d, (chunk.capacity,))
+                arrays.append(d)
+                if v is not None:
+                    arrays.append(v)
+                layout.append((a.expr_id, v is not None))
+            return arrays, layout
+
+        p_arrays, p_layout = flatten_side(probe, [packed_p] + list(pk_data))
+        b_arrays, b_layout = flatten_side(build, [packed_b] + list(bk_data))
+        nkeys = len(pk_data)
+
+        factor = ov.shuffle_factor if ov else 1
+        Lp, Lb = probe.capacity // n, build.capacity // n
+        # heavy-hitter salting: if the hottest build key exceeds one device's
+        # average build share, split its probe stream across `salt` replicas
+        salt = 1
+        key_ids = [e.expr_id for e in node.right_keys if isinstance(e, Attr)]
+        if len(key_ids) == len(node.right_keys) and key_ids:
+            mc = min((build.max_counts.get(i) for i in key_ids
+                      if i in build.max_counts), default=None)
+            if mc is not None and mc > Lb:
+                salt = min(n, K.next_pow2(-(-mc * n // build.capacity)))
+        bp = factor * max(8, -(-2 * Lp // n))
+        bb = factor * max(8, -(-2 * Lb * salt // n))
+        recv_p, recv_b = n * bp, n * bb
+
+        idx = self.node_index[id(node)]
+        static_out = {}
+        pre_flags = set(self.flags)
+
+        def body(p_in, b_in):
+            pk = p_in[0]
+            p_pay, p_alive_in = p_in[1:-1], p_in[-1]
+            bk = b_in[0]
+            b_pay, b_alive_in = b_in[1:-1], b_in[-1]
+            p_ex, p_alive, p_over = SH.radix_exchange(
+                pk, [pk] + list(p_pay), p_alive_in, n, axis, bp, salt=salt,
+                probe_side=True)
+            b_ex, b_alive, b_over = SH.radix_exchange(
+                bk, [bk] + list(b_pay), b_alive_in, n, axis, bb, salt=salt,
+                probe_side=False)
+
+            def rebuild(chunk, layout, ex, alive, cap):
+                pos = 1 + nkeys  # packed key + key exprs lead the payload
+                keys = list(ex[1:pos])
+                slots = {}
+                for expr_id, has_valid in layout:
+                    d = ex[pos]
+                    pos += 1
+                    v = None
+                    if has_valid:
+                        v = ex[pos] & alive
+                        pos += 1
+                    slots[expr_id] = (d, v)
+                return keys, Chunk(
+                    attrs=list(chunk.attrs), slots=slots, alive=alive,
+                    capacity=cap, ranges=dict(chunk.ranges),
+                    unique_sets=list(chunk.unique_sets),
+                    max_counts=dict(chunk.max_counts), fds=list(chunk.fds))
+
+            pk_loc, probe_loc = rebuild(probe, p_layout, p_ex, p_alive, recv_p)
+            bk_loc, build_loc = rebuild(build, b_layout, b_ex, b_alive, recv_b)
+            out = self._join_local(node, probe_loc, build_loc, pk_loc, bk_loc,
+                                   ov, strategy, build_unique)
+            static_out["attrs"] = out.attrs
+            static_out["ranges"] = out.ranges
+            static_out["capacity"] = out.capacity
+            static_out["order"] = [a.expr_id for a in out.attrs]
+            outs = []
+            for a in out.attrs:
+                d, v = out.slots[a.expr_id]
+                d = jnp.asarray(d)
+                if d.ndim == 0:
+                    d = jnp.broadcast_to(d, (out.capacity,))
+                outs.append(d)
+                outs.append(v if v is not None
+                            else jnp.ones((out.capacity,), bool))
+            over = p_over | b_over
+            flags = {}
+            for k in list(self.flags):
+                if k not in pre_flags:
+                    v = self.flags.pop(k)
+                    flags[k] = jax.lax.pmax(
+                        jnp.asarray(v).astype(jnp.int32), axis) > 0
+            flags[f"shuffle_overflow_{idx}"] = jax.lax.pmax(
+                over.astype(jnp.int32), axis) > 0
+            return tuple(outs), out.alive, flags
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(axis), P(axis)),
+                       out_specs=(P(axis), P(axis), P()))
+        outs, alive, flags = fn(tuple(p_arrays) + (probe.alive,),
+                                tuple(b_arrays) + (build.alive,))
+        for k, v in flags.items():
+            self.flags[k] = (self.flags[k] | v) if k in self.flags else v
+        slots = {}
+        for i, eid in enumerate(static_out["order"]):
+            slots[eid] = (outs[2 * i], outs[2 * i + 1])
+        return Chunk(attrs=list(static_out["attrs"]), slots=slots, alive=alive,
+                     capacity=n * static_out["capacity"],
+                     ranges=dict(static_out["ranges"]))
 
     def _semi_stats_join(self, node, probe, build, pk_data, bk_data):
         """Semi/anti join with a single-comparison residual, without expansion:
@@ -751,9 +905,12 @@ class PlanRunner:
         """Build once, probe with ≤1 match per probe row. Covers inner/left/semi/
         anti joins against unique (PK-style) build sides."""
         ranges = self._key_ranges(node.right_keys, build)
-        use_direct = (len(bk_data) == 1 and ranges[0] is not None and
-                      (ranges[0][1] - ranges[0][0] + 1) <=
-                      self.config.collision_free_domain_limit)
+        use_direct = False
+        if len(bk_data) == 1 and ranges[0] is not None:
+            domain = ranges[0][1] - ranges[0][0] + 1
+            use_direct = (domain <= self.config.direct_join_domain_limit and
+                          domain <= self.config.direct_join_density *
+                          build.capacity)
         if use_direct:
             lo, hi = ranges[0]
             domain = hi - lo + 1

@@ -19,7 +19,7 @@ from typing import Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from quickstep_tpu.ops import groupby as G
 from quickstep_tpu.ops import join as J
