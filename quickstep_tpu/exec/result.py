@@ -1,8 +1,12 @@
-"""Query results + PrintToScreen-style formatting.
+"""Query results + PrintToScreen-parity formatting.
 
-Output format parity with the reference's cli/PrintToScreen.{hpp,cpp}: a +--+ ruled
-table with right-aligned numerics and left-aligned strings, and the reference's value
-formatting (doubles printed with up to precision, dates as YYYY-MM-DD).
+Byte-exact output parity with the reference's cli/PrintToScreen.{hpp,cpp}:
+column width = max(display-name length, Type::getPrintWidth, 4 if nullable)
+(PrintToScreen.cpp:76-93); header names left-justified (%-*s, :99-106); every
+value right-justified in its column (%*d / %*.*g / %*.*s / %*s per type,
+types/IntType.cpp:73, FloatType.cpp:93 %.9g, DoubleType.cpp:93 %.17g,
+CharType.cpp:107, DateType.cpp:89); NULL printed as right-justified "NULL"
+(PrintToScreen.cpp:155-159).
 """
 
 from __future__ import annotations
@@ -27,43 +31,82 @@ class QueryResult:
         return len(self.rows)
 
     def format_value(self, v, t: Type) -> str:
-        if v is None:
-            return "NULL"
-        if t.is_floating:
-            return _format_double(float(v))
-        return str(v)
+        """One value as the reference prints it (width-0 form)."""
+        return _format_cell(v, t)
 
     def to_table(self) -> str:
-        """PrintToScreen-style +--+ ruled table."""
+        """PrintToScreen::PrintRelation byte-parity table (no trailing \\n)."""
         if self.message is not None and not self.column_names:
             return self.message
-        cells = [[self.format_value(v, t)
-                  for v, t in zip(row, self.types)] for row in self.rows]
         widths = []
-        for i, name in enumerate(self.column_names):
-            w = len(name)
-            for r in cells:
-                w = max(w, len(r[i]))
+        for name, t in zip(self.column_names, self.types):
+            w = max(len(name), t.print_width)
+            if t.nullable and w < 4:
+                w = 4
             widths.append(w)
-        bar = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
-        lines = [bar]
-        lines.append("|" + "|".join(
-            f" {n.ljust(w)} " for n, w in zip(self.column_names, widths)) + "|")
-        lines.append(bar)
-        for r in cells:
-            line = "|"
-            for v, w, t in zip(r, widths, self.types):
-                if t.is_numeric or t.type_id in (TypeID.DATE, TypeID.DATETIME):
-                    line += f" {v.rjust(w)} |"
-                else:
-                    line += f" {v.ljust(w)} |"
-            lines.append(line)
-        lines.append(bar)
+        hbar = "+" + "".join("-" * w + "+" for w in widths)
+        lines = [hbar]
+        lines.append("|" + "".join(
+            f"{n:<{w}}|" for n, w in zip(self.column_names, widths)))
+        lines.append(hbar)
+        for row in self.rows:
+            lines.append("|" + "".join(
+                f"{_format_cell(v, t):>{w}}|"
+                for v, t, w in zip(row, self.types, widths)))
+        lines.append(hbar)
         return "\n".join(lines)
 
+    def output_size(self) -> str:
+        """PrintToScreen::PrintOutputSize parity."""
+        n = self.num_rows
+        return f"({n} {'row' if n == 1 else 'rows'})"
 
-def _format_double(x: float) -> str:
-    """Default %g-like printing used by the reference's TypedValue printing."""
-    if x == int(x) and abs(x) < 1e15:
-        return str(int(x))
-    return repr(round(x, 10)) if abs(x) > 1e-4 else f"{x:.6g}"
+
+def _format_cell(v, t: Type) -> str:
+    if v is None:
+        return "NULL"
+    tid = t.type_id
+    if tid == TypeID.FLOAT:
+        return "%.9g" % float(v)
+    if tid == TypeID.DOUBLE:
+        return "%.17g" % float(v)
+    if t.is_string:
+        # CharType prints %*.*s with precision = declared length
+        return str(v)[:t.length] if t.length else str(v)
+    if tid == TypeID.DATETIME:
+        # decoded as "YYYY-MM-DD HH:MM:SS[.ssssss]" -> ISO 'T' form with
+        # fixed 6-digit subseconds (DatetimeType.cpp:94-112)
+        s = str(v).replace(" ", "T", 1)
+        if "." in s:
+            head, sub = s.split(".", 1)
+            s = f"{head}.{sub:<06s}"[:len(head) + 7]
+        return s
+    if tid == TypeID.DATETIME_INTERVAL:
+        return _format_dt_interval(int(v))
+    if tid == TypeID.YEARMONTH_INTERVAL:
+        return _format_ym_interval(int(v))
+    return str(v)
+
+
+def _format_dt_interval(us: int) -> str:
+    """DatetimeIntervalType printing ("D days HH:MM:SS[.ssssss]")."""
+    neg = us < 0
+    us = abs(us)
+    secs, sub = divmod(us, 1_000_000)
+    days, rem = divmod(secs, 86400)
+    h, rem = divmod(rem, 3600)
+    m, s = divmod(rem, 60)
+    out = "-" if neg else ""
+    if days:
+        out += f"{days} days "
+    out += f"{h:02d}:{m:02d}:{s:02d}"
+    if sub:
+        out += f".{sub:06d}"
+    return out
+
+
+def _format_ym_interval(months: int) -> str:
+    neg = months < 0
+    months = abs(months)
+    y, m = divmod(months, 12)
+    return f"{'-' if neg else ''}{y} years {m:02d} mons"

@@ -530,11 +530,14 @@ class PlanRunner:
 
         pk_data = []
         pk_valid0 = bk_valid0 = None
+        pk_valid = bk_valid = None   # AND of all key validity masks
         for i, e in enumerate(node.left_keys):
             d, v = self._eval(probe, e)
             d, v = probe.broadcast(d, v)
             if i == 0:
                 pk_valid0 = v
+            if v is not None:
+                pk_valid = v if pk_valid is None else (pk_valid & v)
             pk_data.append(d)
         bk_data = []
         for i, e in enumerate(node.right_keys):
@@ -542,7 +545,15 @@ class PlanRunner:
             d, v = build.broadcast(d, v)
             if i == 0:
                 bk_valid0 = v
+            if v is not None:
+                bk_valid = v if bk_valid is None else (bk_valid & v)
             bk_data.append(d)
+        # SQL equality never matches NULL keys: rows whose key is NULL are
+        # excluded from match computation (but still surface as unmatched rows
+        # in left/full/anti joins). The reference gets this from null-aware
+        # comparators in HashTableKeyManager (storage/HashTableKeyManager.hpp).
+        pmask = probe.alive if pk_valid is None else (probe.alive & pk_valid)
+        bmask = build.alive if bk_valid is None else (build.alive & bk_valid)
 
         def na_correct(out):
             """[NOT] IN three-valued logic (reference null-aware anti-join
@@ -572,8 +583,8 @@ class PlanRunner:
                     int(self.config.direct_join_density * build.capacity)):
                 from quickstep_tpu.ops import bloom as B
                 lo, domain = r[0], r[1] - r[0] + 1
-                bits = B.exact_filter_build(bk_data[0], build.alive, lo, domain)
-                matched = B.exact_filter_probe(bits, pk_data[0], probe.alive, lo)
+                bits = B.exact_filter_build(bk_data[0], bmask, lo, domain)
+                matched = B.exact_filter_probe(bits, pk_data[0], pmask, lo)
                 if node.kind == "anti":
                     matched = probe.alive & ~matched
                 return na_correct(dataclasses.replace(
@@ -586,7 +597,7 @@ class PlanRunner:
         ov = self.overrides.get(self.node_index[id(node)])
         if node.kind == "full":
             return self._full_join(node, probe, build, pk_data, bk_data, ov,
-                                   build_unique)
+                                   build_unique, pmask, bmask)
         strategy = None
         if ov and ov.strategy:
             strategy = ov.strategy
@@ -602,23 +613,29 @@ class PlanRunner:
 
         if node.kind in ("semi", "anti") and strategy == "expand" and \
                 ov is None:
-            out = self._semi_stats_join(node, probe, build, pk_data, bk_data)
+            out = self._semi_stats_join(node, probe, build, pk_data, bk_data,
+                                        pmask, bmask)
             if out is not None:
                 return na_correct(out)
-        out = self._shuffle_join(node, probe, build, pk_data, bk_data, ov,
-                                 strategy, build_unique)
-        if out is not None:
-            return na_correct(out)
+        if pk_valid is None and bk_valid is None:
+            out = self._shuffle_join(node, probe, build, pk_data, bk_data, ov,
+                                     strategy, build_unique)
+            if out is not None:
+                return na_correct(out)
         return na_correct(self._join_local(
-            node, probe, build, pk_data, bk_data, ov, strategy, build_unique))
+            node, probe, build, pk_data, bk_data, ov, strategy, build_unique,
+            pmask, bmask))
 
     def _join_local(self, node, probe, build, pk_data, bk_data, ov, strategy,
-                    build_unique):
-        """Communication-free join core on (device-local or whole) chunks."""
+                    build_unique, pmask, bmask):
+        """Communication-free join core on (device-local or whole) chunks.
+        pmask/bmask = alive AND key-validity (NULL keys never match)."""
         if strategy == "unique":
             return self._unique_join(node, probe, build, pk_data, bk_data,
-                                     check_dups=not build_unique)
-        return self._expand_join(node, probe, build, pk_data, bk_data, ov)
+                                     check_dups=not build_unique,
+                                     pmask=pmask, bmask=bmask)
+        return self._expand_join(node, probe, build, pk_data, bk_data, ov,
+                                 pmask, bmask)
 
     def _shuffle_join(self, node, probe, build, pk_data, bk_data, ov,
                       strategy, build_unique) -> Optional[Chunk]:
@@ -723,7 +740,8 @@ class PlanRunner:
             pk_loc, probe_loc = rebuild(probe, p_layout, p_ex, p_alive, recv_p)
             bk_loc, build_loc = rebuild(build, b_layout, b_ex, b_alive, recv_b)
             out = self._join_local(node, probe_loc, build_loc, pk_loc, bk_loc,
-                                   ov, strategy, build_unique)
+                                   ov, strategy, build_unique,
+                                   probe_loc.alive, build_loc.alive)
             static_out["attrs"] = out.attrs
             static_out["ranges"] = out.ranges
             static_out["capacity"] = out.capacity
@@ -762,7 +780,8 @@ class PlanRunner:
                      capacity=n * static_out["capacity"],
                      ranges=dict(static_out["ranges"]))
 
-    def _semi_stats_join(self, node, probe, build, pk_data, bk_data):
+    def _semi_stats_join(self, node, probe, build, pk_data, bk_data,
+                         pmask, bmask):
         """Semi/anti join with a single-comparison residual, without expansion:
         EXISTS (x in group(k) with x OP v) is decidable from per-group min/max
         of x — group the build side by the join keys (one sort), then a unique
@@ -789,11 +808,11 @@ class PlanRunner:
         out_keys, _, galive, _n_groups, results = G.sort_groupby(
             bk_data, [None] * len(bk_data),
             [("min", bx, None), ("max", bx, None)],
-            build.alive, packed_key=packed)
+            bmask, packed_key=packed)
         # unique join: probe keys -> group row (group keys are unique)
         tsize = K.next_pow2(2 * build.capacity)
         table, _ = J.oa_build(out_keys, galive, tsize)
-        gidx, matched = J.oa_probe(table, out_keys, pk_data, probe.alive)
+        gidx, matched = J.oa_probe(table, out_keys, pk_data, pmask)
         safe = jnp.clip(gidx, 0, build.capacity - 1)
         gmin, gmax = K.multi_gather([results[0][0], results[1][0]], safe)
         px, pxv = probe.broadcast(*self._eval(probe, probe_expr))
@@ -818,7 +837,7 @@ class PlanRunner:
         return dataclasses.replace(probe, alive=probe.alive & matched)
 
     def _full_join(self, node, probe, build, pk_data, bk_data, ov,
-                   build_unique):
+                   build_unique, pmask, bmask):
         """FULL OUTER JOIN = left-outer join ++ null-extended unmatched build
         rows, concatenated into a capacity P(+ expansion)+B chunk (reference
         kLeftOuterJoin + BuildAggregationExistenceMapOperator existence-bitmap
@@ -830,26 +849,26 @@ class PlanRunner:
         self.node_index[id(left_node)] = idx
         if build_unique and not (ov and ov.strategy == "expand"):
             out = self._unique_join(left_node, probe, build, pk_data, bk_data,
-                                    check_dups=False)
+                                    check_dups=False, pmask=pmask, bmask=bmask)
         else:
             out = self._expand_join(left_node, probe, build, pk_data, bk_data,
-                                    ov)
+                                    ov, pmask, bmask)
 
         # Which build rows found a partner? Reverse existence probe.
         if node.residual is None:
             tsize = K.next_pow2(2 * probe.capacity)
-            table, _ = J.oa_build(pk_data, probe.alive, tsize)
-            _, bmatched = J.oa_probe(table, pk_data, bk_data, build.alive)
+            table, _ = J.oa_build(pk_data, pmask, tsize)
+            _, bmatched = J.oa_probe(table, pk_data, bk_data, bmask)
         else:
             # residual participates in matching: expand from the build side and
             # test the residual per candidate pair
             packed_b, packed_p = self._pack_keys(node, build, probe,
                                                  bk_data, pk_data)
-            sorted_key, order = J.sorted_build(packed_p, probe.alive)
+            sorted_key, order = J.sorted_build(packed_p, pmask)
             kmax = (ov.max_matches if ov and ov.max_matches
                     else self._default_k(node, probe, node.left_keys))
             rows, counts = J.expand_probe(sorted_key, order, packed_b,
-                                          build.alive, kmax)
+                                          bmask, kmax)
             okey = f"join_overflow_{idx}"
             rev_over = jnp.any(counts > kmax)
             self.flags[okey] = (self.flags[okey] | rev_over) \
@@ -901,9 +920,12 @@ class PlanRunner:
     def _key_ranges(self, keys, chunk):
         return [infer_range(e, chunk.ranges) for e in keys]
 
-    def _unique_join(self, node, probe, build, pk_data, bk_data, check_dups):
+    def _unique_join(self, node, probe, build, pk_data, bk_data, check_dups,
+                     pmask=None, bmask=None):
         """Build once, probe with ≤1 match per probe row. Covers inner/left/semi/
         anti joins against unique (PK-style) build sides."""
+        pmask = probe.alive if pmask is None else pmask
+        bmask = build.alive if bmask is None else bmask
         ranges = self._key_ranges(node.right_keys, build)
         use_direct = False
         if len(bk_data) == 1 and ranges[0] is not None:
@@ -914,13 +936,13 @@ class PlanRunner:
         if use_direct:
             lo, hi = ranges[0]
             domain = hi - lo + 1
-            table, dup = J.direct_build(bk_data[0], build.alive, lo, domain)
-            bidx, matched = J.direct_probe(table, pk_data[0], probe.alive, lo,
+            table, dup = J.direct_build(bk_data[0], bmask, lo, domain)
+            bidx, matched = J.direct_probe(table, pk_data[0], pmask, lo,
                                            domain)
         else:
             tsize = K.next_pow2(2 * build.capacity)
-            table, dup = J.oa_build(bk_data, build.alive, tsize)
-            bidx, matched = J.oa_probe(table, bk_data, pk_data, probe.alive)
+            table, dup = J.oa_build(bk_data, bmask, tsize)
+            bidx, matched = J.oa_probe(table, bk_data, pk_data, pmask)
         if check_dups:
             self.flags[f"join_dup_{self.node_index[id(node)]}"] = dup
 
@@ -980,15 +1002,18 @@ class PlanRunner:
                 out.alive = out.alive & passed
         return out
 
-    def _expand_join(self, node, probe, build, pk_data, bk_data, ov):
+    def _expand_join(self, node, probe, build, pk_data, bk_data, ov,
+                     pmask=None, bmask=None):
         """Sort-based expansion join: handles duplicate build keys, residuals on
         semi/anti, and many-many inner joins."""
+        pmask = probe.alive if pmask is None else pmask
+        bmask = build.alive if bmask is None else bmask
         # pack build keys into one int64 (range-packed; falls back to hash packing)
         packed_b, packed_p = self._pack_keys(node, build, probe, bk_data, pk_data)
-        sorted_key, order = J.sorted_build(packed_b, build.alive)
+        sorted_key, order = J.sorted_build(packed_b, bmask)
         max_matches = (ov.max_matches if ov and ov.max_matches
                        else self._default_k(node, build, node.right_keys))
-        rows, counts = J.expand_probe(sorted_key, order, packed_p, probe.alive,
+        rows, counts = J.expand_probe(sorted_key, order, packed_p, pmask,
                                       max_matches)
         self.flags[f"join_overflow_{self.node_index[id(node)]}"] = \
             jnp.any(counts > max_matches)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,8 +144,20 @@ class Arith(Expr):
                 data = a / safe_b
                 vb = _combine_valid(vb, b != 0)
         elif self.op == "%":
+            # C semantics, matching the reference (ArithmeticBinaryOperators.hpp:
+            # 143 integer `%` truncated toward zero, :154 std::fmod for floats;
+            # jnp.mod is floored and would flip signs). `+ 0.0` canonicalizes
+            # the -0.0 that fmod yields for negative operands with zero
+            # remainder — the reference corpus prints it as "0".
             safe_b = jnp.where(b == 0, jnp.ones_like(b), b)
-            data = jnp.where(b == 0, jnp.zeros_like(a), _ARITH["%"](a, safe_b))
+            if self.type.is_integral:
+                rem = jax.lax.rem(a, safe_b)
+            else:
+                rem = jnp.fmod(a, safe_b)
+                # canonicalize fmod's -0.0 (negative operand, zero remainder)
+                # to +0.0 as the reference corpus prints
+                rem = jnp.where(rem == 0, jnp.zeros_like(rem), rem)
+            data = jnp.where(b == 0, jnp.zeros_like(a), rem)
             vb = _combine_valid(vb, b != 0)
         else:
             data = _ARITH[self.op](a, b)

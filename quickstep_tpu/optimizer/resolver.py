@@ -264,7 +264,13 @@ class Resolver:
             start = vals[0]
             end = vals[1] if len(vals) > 1 else vals[0]
             step = vals[2] if len(vals) > 2 else 1
-            attr = OutAttr(next_expr_id(), "generate_series", LONG)
+            col_name = (tref.column_aliases[0] if tref.column_aliases
+                        else "generate_series")
+            # output type = unified type of the arguments (GenerateSeries.hpp:88)
+            gen_t = args[0].type
+            for a in args[1:]:
+                gen_t = TypeFactory.unify(gen_t, a.type) or LONG
+            attr = OutAttr(next_expr_id(), col_name, gen_t)
             node = L.Generator(start=start, end=end, step=step, attrs=[attr])
             scope.add_all(tref.alias or "generate_series", node.output)
             return node
@@ -777,8 +783,10 @@ class Resolver:
                 return Not(operand=self._resolve_expr(e.operand, scope, state),
                            type=INT)
             operand = self._resolve_expr(e.operand, scope, state)
-            if isinstance(operand, Lit) and operand.value is not None:
-                return Lit(value=-operand.value, type=operand.type)
+            if isinstance(operand, Lit):
+                # -NULL stays NULL (NullType negation is identity)
+                val = None if operand.value is None else -operand.value
+                return Lit(value=val, type=operand.type)
             return Arith(op="-", lhs=Lit(value=0, type=operand.type), rhs=operand,
                          type=operand.type)
         if isinstance(e, A.IsNullExpr):
@@ -844,6 +852,11 @@ class Resolver:
         if rt.type_id in (TypeID.DATE, TypeID.DATETIME) and lt.type_id in (
                 TypeID.DATETIME_INTERVAL, TypeID.YEARMONTH_INTERVAL) and op == "+":
             return self._fold_date_arith(op, rhs, lhs, node)
+        # arithmetic with a NULL literal is constantly NULL, typed by the other
+        # side (reference NullCoercibilityCoreCheck: NullType coerces to any)
+        if lt.type_id == TypeID.NULLTYPE or rt.type_id == TypeID.NULLTYPE:
+            from quickstep_tpu.types import NULL_TYPE
+            return Lit(value=None, type=NULL_TYPE)
         if not (lt.is_numeric and rt.is_numeric):
             raise ResolutionError(
                 f"cannot apply {op} to {lt} and {rt}", node.line, node.column)
@@ -1290,11 +1303,12 @@ def _fold_numeric(a: Arith) -> Lit:
 
 
 def _default_name(e: A.Expr) -> str:
+    """Display name for an unaliased select item: the reference resolver uses
+    ParseExpression::generateName() (parser/ParseBasicExpressions.cpp:45-214),
+    except bare column references keep just the column name."""
     if isinstance(e, A.ColumnRef):
         return e.name
-    if isinstance(e, A.FunctionCall):
-        return e.name
-    return "expr"
+    return A.generate_name(e)
 
 
 def _expr_name(e: Expr) -> str:

@@ -29,6 +29,7 @@ class Expr(Node):
 class Literal(Expr):
     value: object = None          # python int/float/str/None
     type_hint: Optional[str] = None  # 'date' | 'datetime' | 'interval:<unit-kind>' | None
+    text: Optional[str] = None    # original source spelling (for display names)
 
 
 @dataclasses.dataclass
@@ -107,6 +108,7 @@ class FunctionCall(Expr):
     distinct: bool = False
     is_star: bool = False         # COUNT(*)
     window: Optional["WindowSpec"] = None  # OVER (...)
+    src_name: Optional[str] = None  # original casing (for display names)
 
 
 @dataclasses.dataclass
@@ -127,6 +129,7 @@ class CastExpr(Expr):
 class ExtractExpr(Expr):
     field: str = ""               # YEAR MONTH DAY HOUR MINUTE SECOND
     operand: Expr = None
+    field_src: Optional[str] = None  # original casing (for display names)
 
 
 @dataclasses.dataclass
@@ -205,6 +208,7 @@ class GeneratorTableRef(TableRef):
     name: str = ""
     args: List[Expr] = dataclasses.field(default_factory=list)
     alias: Optional[str] = None
+    column_aliases: List[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -305,3 +309,62 @@ class CommandStmt(Statement):
     r"""CLI backslash command: \dt, \d rel, \analyze (reference cli/Constants.hpp:30-32)."""
     command: str = ""
     args: List[str] = dataclasses.field(default_factory=list)
+
+
+# ===================== display-name generation =====================
+# Parity with the reference's ParseExpression::generateName()
+# (parser/ParseBasicExpressions.cpp:45-214, ParseLiteralValue.hpp:125,222,
+# ParseCaseExpressions.cpp:61-110): the display name the resolver assigns to an
+# unaliased select-list expression.
+
+def generate_name(e: "Expr") -> str:
+    if isinstance(e, Literal):
+        if e.value is None:
+            return "NULL"
+        if isinstance(e.value, str) and e.type_hint is None:
+            return f"'{e.value}'"
+        if e.text is not None:
+            return e.text
+        if isinstance(e.value, float):
+            return repr(e.value)
+        return str(e.value)
+    if isinstance(e, ColumnRef):
+        return f"{e.table}.{e.name}" if e.table else e.name
+    if isinstance(e, Star):
+        return "*"
+    if isinstance(e, BinaryExpr):
+        return (f"({generate_name(e.left)}{e.op}"
+                f"{generate_name(e.right)})")
+    if isinstance(e, UnaryExpr):
+        op = "NOT " if e.op.upper() == "NOT" else e.op
+        return f"{op}{generate_name(e.operand)}"
+    if isinstance(e, FunctionCall):
+        nm = e.src_name or e.name
+        if e.is_star:
+            return f"{nm}(*)"
+        inner = ", ".join(generate_name(a) for a in e.args)
+        return f"{nm}({'DISTINCT ' if e.distinct else ''}{inner})"
+    if isinstance(e, ExtractExpr):
+        field = e.field_src or e.field
+        return f"EXTRACT({field} FROM {generate_name(e.operand)})"
+    if isinstance(e, SubstringExpr):
+        out = f"SUBSTRING({generate_name(e.operand)} FROM {generate_name(e.start)}"
+        if e.length is not None:
+            out += f" FOR {generate_name(e.length)}"
+        return out + ")"
+    if isinstance(e, CaseExpr):
+        parts = ["CASE"]
+        if e.operand is not None:
+            parts.append(f" {generate_name(e.operand)}")
+        for cond, res in e.when_clauses:
+            parts.append(f" WHEN {generate_name(cond)} THEN {generate_name(res)}")
+        if e.else_result is not None:
+            parts.append(f" ELSE {generate_name(e.else_result)}")
+        parts.append(" END")
+        return "".join(parts)
+    if isinstance(e, CastExpr):
+        return f"CAST({generate_name(e.operand)} AS {e.target_type_name})"
+    if isinstance(e, IsNullExpr):
+        neg = " IS NOT NULL" if e.negated else " IS NULL"
+        return generate_name(e.operand) + neg
+    return "expr"

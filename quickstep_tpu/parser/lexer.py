@@ -41,6 +41,7 @@ class Token:
     value: object
     line: int
     column: int
+    text: Optional[str] = None   # raw source spelling (numbers: display names)
 
     def is_kw(self, kw: str) -> bool:
         return self.kind == "keyword" and self.value == kw
@@ -162,7 +163,7 @@ def tokenize(text: str) -> List[Token]:
                     break
             lit = text[i:j]
             val = float(lit) if (seen_dot or seen_exp) else int(lit)
-            toks.append(Token("number", val, line, col))
+            toks.append(Token("number", val, line, col, text=lit))
             col += j - i
             i = j
             continue

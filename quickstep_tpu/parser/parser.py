@@ -353,11 +353,20 @@ class _Parser:
                         break
             self.expect_op(")")
             alias = None
+            col_aliases = []
             if self.accept_kw("as"):
                 alias = self.expect_ident()
             elif self.peek().kind == "ident":
                 alias = self.next().value
+            if alias is not None and self.accept_op("("):
+                # AS gs(i): generator output column aliases
+                while True:
+                    col_aliases.append(self.expect_ident())
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
             return A.GeneratorTableRef(name=name, args=args, alias=alias,
+                                       column_aliases=col_aliases,
                                        line=t.line, column=t.column)
         ref = A.BaseTableRef(name=name, line=t.line, column=t.column)
         if self.at_kw("blocksample", "tuplesample"):
@@ -493,7 +502,8 @@ class _Parser:
             return e
         if t.kind == "number":
             self.next()
-            return A.Literal(value=t.value, line=t.line, column=t.column)
+            return A.Literal(value=t.value, text=t.text,
+                             line=t.line, column=t.column)
         if t.kind == "string":
             self.next()
             return A.Literal(value=t.value, line=t.line, column=t.column)
@@ -555,6 +565,7 @@ class _Parser:
             operand = self.parse_expr()
             self.expect_op(")")
             return A.ExtractExpr(field=field, operand=operand,
+                                 field_src=str(field_tok.value),
                                  line=t.line, column=t.column)
         if self.at_kw("substring"):
             self.next()
@@ -600,7 +611,8 @@ class _Parser:
 
     def parse_function_call(self, name: str, t: Token) -> A.Expr:
         self.expect_op("(")
-        fc = A.FunctionCall(name=name.lower(), line=t.line, column=t.column)
+        fc = A.FunctionCall(name=name.lower(), src_name=name,
+                            line=t.line, column=t.column)
         if self.at_op("*"):
             self.next()
             fc.is_star = True

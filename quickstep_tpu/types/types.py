@@ -63,6 +63,19 @@ _DEVICE_DTYPE = {
     TypeID.NULLTYPE: np.int32,
 }
 
+# Type::getPrintWidth values (see Type.print_width)
+_PRINT_WIDTH = {
+    TypeID.INT: 11,                  # digits10(9) + leading digit + '-'
+    TypeID.LONG: 20,                 # digits10(18) + leading digit + '-'
+    TypeID.FLOAT: 15,                # max_digits10(9) + '.' + '-' + 'e+' + 2
+    TypeID.DOUBLE: 24,               # max_digits10(17) + '.' + '-' + 'e+' + 3
+    TypeID.DATE: 12,                 # +/-, 5-digit year, -MM-DD
+    TypeID.DATETIME: 41,             # sign + 18-digit year + -MM-DDTHH:MM:SS.ssssss
+    TypeID.DATETIME_INTERVAL: 40,    # sign + days + " days " + HH:MM:SS.ssssss
+    TypeID.YEARMONTH_INTERVAL: 33,   # sign + years + " years " + MM + " mons"
+    TypeID.NULLTYPE: 4,              # "NULL"
+}
+
 _PRINT_NAME = {
     TypeID.INT: "Int",
     TypeID.LONG: "Long",
@@ -107,6 +120,17 @@ class Type:
     @property
     def device_dtype(self) -> np.dtype:
         return np.dtype(_DEVICE_DTYPE[self.type_id])
+
+    @property
+    def print_width(self) -> int:
+        """Maximum printed width of any value of this type, matching the
+        reference's Type::getPrintWidth (types/IntType.hpp:92 digits10+2,
+        types/FloatType.hpp:114 / DoubleType.hpp:114 mantissa+point+sign+
+        exponent, types/CharType.hpp:119 length, DatetimeLit.hpp:46,114 ISO
+        widths, IntervalLit.hpp:46,128)."""
+        if self.is_string:
+            return self.length
+        return _PRINT_WIDTH[self.type_id]
 
     # ---- derivation ----
     def with_nullable(self, nullable: bool = True) -> "Type":

@@ -4,22 +4,31 @@ Format parity with the reference's TextBasedTestDriver
 (utility/textbased_test/TextBasedTestDriver.{hpp,cpp}; example
 query_optimizer/tests/execution_generator/Select.test:18-33):
 
+    # comment lines (ignored)
+    [options]           (optional; "[default opt]" persists for later cases)
     <input SQL>
     --
     <expected output>
     ==
     <next case...>
 
-Runner modes mirror the reference's three harnesses: 'execute' prints result tables
-(ExecutionGeneratorTestRunner analog), 'plan' prints the optimized plan tree
-(OptimizerTextTestRunner analog). `update=True` rewrites expected sections from
-actual output (the reference's --update_golden workflow).
+"[same as above]" as the whole expected section re-uses the previous case's
+expectation (TextBasedTestDriver.cpp:41,216).
+
+Execution semantics mirror ExecutionGeneratorTestRunner::runTestCase
+(query_optimizer/tests/ExecutionGeneratorTestRunner.cpp:133-215): statements
+run in order against a database that persists across cases; SELECT results
+print as PrintToScreen tables; DDL/DML print nothing; a SqlError prints its
+caret-formatted message and aborts the rest of the case.
+
+`update=True` rewrites expected sections from actual output (the reference's
+--update_golden workflow).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Set
 
 from quickstep_tpu.database import Database
 from quickstep_tpu.errors import QuickstepError, SqlError
@@ -30,10 +39,10 @@ class GoldenCase:
     sql: str
     expected: str
     line: int
+    options: Set[str] = dataclasses.field(default_factory=set)
 
 
 def parse_golden_file(text: str) -> List[GoldenCase]:
-    cases = []
     chunks = []
     cur: List[str] = []
     start_line = 0
@@ -46,27 +55,116 @@ def parse_golden_file(text: str) -> List[GoldenCase]:
             cur.append(line)
     if any(l.strip() for l in cur):
         chunks.append((start_line, cur))
+    cases: List[GoldenCase] = []
+    default_options: Set[str] = set()
     for start, lines in chunks:
         sql_lines: List[str] = []
         exp_lines: List[str] = []
+        options: Set[str] = set()
         in_expected = False
         for line in lines:
             if not in_expected and line.strip() == "--":
                 in_expected = True
                 continue
-            (exp_lines if in_expected else sql_lines).append(line)
+            if in_expected:
+                exp_lines.append(line)
+                continue
+            s = line.strip()
+            if not sql_lines or not any(l.strip() for l in sql_lines):
+                # leading comment / option lines (before input text)
+                if s.startswith("#"):
+                    continue
+                if s.startswith("[") and s.endswith("]") and \
+                        s != "[same as above]":
+                    opts = s[1:-1].split()
+                    if opts and opts[0] == "default":
+                        default_options = set(opts[1:])
+                    else:
+                        options.update(opts)
+                    continue
+            sql_lines.append(line)
         sql = "\n".join(sql_lines).strip()
         if not sql:
             continue
-        cases.append(GoldenCase(sql=sql, expected="\n".join(exp_lines).strip(),
-                                line=start))
+        expected = "\n".join(exp_lines).strip()
+        if expected == "[same as above]":
+            expected = cases[-1].expected if cases else ""
+        cases.append(GoldenCase(sql=sql, expected=expected, line=start,
+                                options=options | default_options))
     return cases
 
 
+def _has_toplevel_order_by(sql: str) -> bool:
+    """True if the statement has an ORDER BY at paren depth 0 (i.e. one that
+    determines final output row order). ORDER BY inside subqueries or window
+    specs does not constrain the printed order."""
+    depth = 0
+    i = 0
+    n = len(sql)
+    low = sql.lower()
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith("order", i) and \
+                (i == 0 or not low[i - 1].isalnum()):
+            j = i + 5
+            while j < n and low[j].isspace():
+                j += 1
+            if low.startswith("by", j):
+                return True
+        i += 1
+    return False
+
+
+def _sort_table_bodies(text: str) -> str:
+    """Canonicalize printed output: sort the data rows of each PrintToScreen
+    table block (rows between the header rule and the final rule)."""
+    lines = text.split("\n")
+    out: List[str] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if line.startswith("+-") and i + 2 < n and \
+                lines[i + 1].startswith("|") and lines[i + 2].startswith("+-"):
+            # table header: rule, header, rule; then data rows until rule
+            out.extend(lines[i:i + 3])
+            i += 3
+            body = []
+            while i < n and lines[i].startswith("|"):
+                body.append(lines[i])
+                i += 1
+            out.extend(sorted(body))
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
+def outputs_match(actual: str, expected: str, sql: str) -> bool:
+    """Byte-exact comparison, except that when the statement has no top-level
+    ORDER BY the data rows of each printed table are compared as multisets
+    (the reference prints rows in its own hash-table/block order, which no
+    other engine can reproduce; cell formatting is still byte-exact)."""
+    a, e = actual.strip(), expected.strip()
+    if a == e:
+        return True
+    if _has_toplevel_order_by(sql):
+        return False
+    return _sort_table_bodies(a) == _sort_table_bodies(e)
+
+
 def run_case(db: Database, case: GoldenCase, mode: str = "execute") -> str:
-    """Actual output for one case."""
-    try:
-        if mode == "plan":
+    """Actual output for one case (ExecutionGeneratorTestRunner semantics)."""
+    if mode == "plan":
+        try:
             from quickstep_tpu.parser import parse_one
             from quickstep_tpu.optimizer.resolver import Resolver
             from quickstep_tpu.optimizer.rules import optimize_plan
@@ -75,21 +173,41 @@ def run_case(db: Database, case: GoldenCase, mode: str = "execute") -> str:
             plan = optimize_plan(plan, db.config,
                                  db.catalog.default_database)
             return plan.tree_string()
-        out = []
+        except SqlError as e:
+            return e.format(case.sql)
+        except QuickstepError as e:
+            return f"ERROR: {e}"
+    out = []
+    try:
         from quickstep_tpu.parser import parse_statements
-        for stmt in parse_statements(case.sql):
-            res = db.executor.execute_statement(stmt)
-            if res.message:
-                out.append(res.message)
-            elif res.rows_affected is not None:
-                out.append(f"{res.rows_affected} rows affected.")
-            else:
-                out.append(res.to_table())
-        return "\n".join(out)
+        stmts = parse_statements(case.sql)
     except SqlError as e:
         return e.format(case.sql)
-    except QuickstepError as e:
-        return f"ERROR: {e}"
+    for stmt in stmts:
+        try:
+            if "print_physical_plan" in case.options:
+                from quickstep_tpu.parser import ast_nodes as A
+                if isinstance(stmt, A.SelectStmt):
+                    from quickstep_tpu.optimizer.resolver import Resolver
+                    from quickstep_tpu.optimizer.rules import optimize_plan
+                    plan = optimize_plan(
+                        Resolver(db.catalog.default_database)
+                        .resolve_select(stmt),
+                        db.config, db.catalog.default_database)
+                    out.append(plan.tree_string())
+                    out.append("--")
+            res = db.executor.execute_statement(stmt)
+        except SqlError as e:
+            out.append(e.format(case.sql))
+            break
+        except Exception as e:   # engine errors abort the case, not the file
+            out.append(f"ERROR: {e}")
+            break
+        if res.column_names:      # SELECT (or command with tabular output)
+            out.append(res.to_table())
+        elif res.message is not None and getattr(stmt, "command", None):
+            out.append(res.message)
+    return "\n".join(out)
 
 
 def run_golden_file(path: str, db: Database, mode: str = "execute",
@@ -104,7 +222,7 @@ def run_golden_file(path: str, db: Database, mode: str = "execute",
     for case in cases:
         actual = run_case(db, case, mode)
         actuals.append(actual)
-        if actual.strip() != case.expected.strip():
+        if not outputs_match(actual, case.expected, case.sql):
             failures.append(
                 f"{path}:{case.line}: mismatch\n--- expected ---\n"
                 f"{case.expected}\n--- actual ---\n{actual}")
