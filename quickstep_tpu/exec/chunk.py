@@ -23,6 +23,10 @@ class Chunk:
     slots: Dict[int, Tuple[object, Optional[object]]]  # expr_id -> (data, valid)
     alive: object                                      # bool[capacity]
     capacity: int
+    # static (host-known) upper bound on live rows, when tighter than
+    # capacity — lets nested-loops/cross joins compact tiny inputs instead of
+    # multiplying padded capacities. None = no bound beyond capacity.
+    bound: Optional[int] = None
     # host-side (static, per-plan) metadata for physical decisions:
     ranges: Dict[int, Optional[Tuple[int, int]]] = dataclasses.field(
         default_factory=dict)

@@ -517,7 +517,7 @@ class Executor:
 
         if cols is None:
             cols = {"__num_rows__": num_rows}
-            m = {"capacity": capacity, "ranges": ranges,
+            m = {"capacity": capacity, "rows": n, "ranges": ranges,
                  "unique_cols": unique_cols, "version": rel.version,
                  "bytes": 0,
                  "unique_pairs": [tuple(p) for p in st.unique_pairs]
@@ -554,16 +554,49 @@ class Executor:
             attrs.append(CatalogAttribute(cd.name, t, unique=cd.unique))
         rel = CatalogRelation(stmt.name, attrs)
         if stmt.partition_kind:
+            seen = set()
+            for i, pa in enumerate(stmt.partition_attrs):
+                if pa.lower() in seen:
+                    pos = (stmt.partition_attr_pos[i]
+                           if i < len(stmt.partition_attr_pos) else (None, None))
+                    raise ResolutionError(
+                        "A duplicate partition attribute was found.",
+                        pos[0], pos[1])
+                seen.add(pa.lower())
             rel.partition_scheme = PartitionScheme(
                 kind=stmt.partition_kind, attributes=stmt.partition_attrs,
                 num_partitions=stmt.partition_count)
-        # BLOCKPROPERTIES accepted for compatibility (block layouts have no TPU
-        # analog: columns are always struct-of-arrays in HBM)
+        # BLOCKPROPERTIES validated for parity (StorageBlockLayout::
+        # DescriptionIsValid); the layouts themselves have no TPU analog —
+        # columns are always struct-of-arrays in HBM.
+        bp = stmt.block_properties
+        if bp:
+            btype = str(bp.get("type", "split_rowstore")).lower()
+            known = {"rowstore", "split_rowstore", "columnstore",
+                     "compressed_rowstore", "compressed_columnstore"}
+            valid = btype in known
+            if btype in ("columnstore", "compressed_columnstore"):
+                # BasicColumnStore requires all-fixed-width attributes
+                # (storage/BasicColumnStoreTupleStorageSubBlock.cpp
+                # DescriptionIsValid)
+                if any(a.type.type_id == TypeID.VARCHAR for a in attrs):
+                    valid = False
+                sort_col = bp.get("sort")
+                if sort_col is not None and not any(
+                        a.name.lower() == str(sort_col).lower() for a in attrs):
+                    valid = False
+            if not valid:
+                raise ExecutionError("BLOCKPROPERTIES is invalid.")
         self.db.add_relation(rel)
         return QueryResult([], [], [], message=f"Table {stmt.name} created.")
 
     def _create_index(self, stmt: A.CreateIndexStmt) -> QueryResult:
         rel = self._rel(stmt.table_name)
+        for idx in rel.indices:
+            if idx["attrs"] == stmt.attrs and idx["type"] == stmt.index_type:
+                raise ExecutionError(
+                    f"The relation {rel.name} already defines this index on "
+                    f"the given attribute(s).")
         rel.indices.append({"name": stmt.index_name, "attrs": stmt.attrs,
                             "type": stmt.index_type})
         return QueryResult([], [], [],
@@ -572,7 +605,7 @@ class Executor:
     def _rel(self, name: str) -> CatalogRelation:
         rel = self.db.get_relation(name)
         if rel is None:
-            raise ExecutionError(f"unknown relation {name}")
+            raise ExecutionError(f"Unrecognized relation {name}")
         return rel
 
     # ================================================================
@@ -692,19 +725,30 @@ class Executor:
         return QueryResult([], [], [], rows_affected=int(mask.sum()))
 
     def _copy(self, stmt: A.CopyStmt) -> QueryResult:
-        rel = self._rel(stmt.table_name)
-        delim = str(stmt.options.get("delimiter", "\t"))
-        header = bool(stmt.options.get("header", False))
-        schema = [(a.name, a.type) for a in rel.attributes]
         if stmt.direction == "from":
+            rel = self._rel(stmt.table_name)
+            delim = str(stmt.options.get("delimiter", "\t"))
+            header = bool(stmt.options.get("header", False))
+            schema = [(a.name, a.type) for a in rel.attributes]
             data = csv_io.load_csv(stmt.path, schema, delimiter=delim,
                                    header=header)
             rel.append_data(data)
             rel.analyze()
             return QueryResult([], [], [], rows_affected=data.num_rows)
-        n = csv_io.export_csv(stmt.path, rel.data, delimiter=delim,
-                              header=header)
-        return QueryResult([], [], [], rows_affected=n)
+        # COPY {table | <query>} TO {path | stdout | stderr} WITH (...)
+        # (relational_operators/TableExportOperator.hpp:61)
+        if stmt.select is not None:
+            sel = self._run_select(stmt.select)
+            names, types, rows = sel.column_names, sel.types, sel.rows
+        else:
+            rel = self._rel(stmt.table_name)
+            names = [a.name for a in rel.attributes]
+            types = [a.type for a in rel.attributes]
+            rows = rel.data.to_rows()
+        text = csv_io.export_csv(stmt.path, names, types, rows, stmt.options)
+        res = QueryResult([], [], [], rows_affected=len(rows),
+                          message=text.rstrip("\n") if text else None)
+        return res
 
     # ================================================================
     # CLI commands (reference cli/CommandExecutor.cpp)
@@ -724,10 +768,15 @@ class Executor:
             return QueryResult(["Column", "Type"], [VarChar(64), VarChar(64)],
                                rows)
         if cmd == "\\analyze":
+            # message parity with cli/CommandExecutor.cpp:218-310 (\analyze
+            # prints one "Analyzing <rel> ... done" line per relation)
             targets = stmt.args or list(self.db.relations.keys())
+            lines = []
             for t in targets:
-                self._rel(t).analyze()
-            return QueryResult([], [], [], message="Analyzed.")
+                rel = self._rel(t)
+                rel.analyze()
+                lines.append(f"Analyzing {rel.name} ... done")
+            return QueryResult([], [], [], message="\n".join(lines))
         if cmd in ("\\explain", "\\viz", "\\explain_analyze"):
             # plan tree + DOT (+ per-operator timing for \explain_analyze) —
             # visualize_plan / visualize_execution_dag flag analogs

@@ -89,7 +89,8 @@ def _format_cell(v, t: Type) -> str:
 
 
 def _format_dt_interval(us: int) -> str:
-    """DatetimeIntervalType printing ("D days HH:MM:SS[.ssssss]")."""
+    """DatetimeIntervalType::printValueToString parity
+    ("D day[s] HH:MM:SS[.ssssss]", types/DatetimeIntervalType.cpp:72-99)."""
     neg = us < 0
     us = abs(us)
     secs, sub = divmod(us, 1_000_000)
@@ -98,7 +99,7 @@ def _format_dt_interval(us: int) -> str:
     m, s = divmod(rem, 60)
     out = "-" if neg else ""
     if days:
-        out += f"{days} days "
+        out += f"{days} day " if days == 1 else f"{days} days "
     out += f"{h:02d}:{m:02d}:{s:02d}"
     if sub:
         out += f".{sub:06d}"
@@ -106,7 +107,16 @@ def _format_dt_interval(us: int) -> str:
 
 
 def _format_ym_interval(months: int) -> str:
+    """YearMonthIntervalType::printValueToString parity (years printed only
+    when nonzero, singular/plural "year"/"mon" forms)."""
     neg = months < 0
     months = abs(months)
     y, m = divmod(months, 12)
-    return f"{'-' if neg else ''}{y} years {m:02d} mons"
+    out = "-" if neg else ""
+    if y:
+        out += f"{y} year" + ("" if y == 1 else "s")
+    if m or not y:
+        if y:
+            out += " "
+        out += f"{m} mon" + ("" if m == 1 else "s")
+    return out

@@ -134,7 +134,8 @@ class PlanRunner:
         fds = [(u, all_ids) for u in unique_sets]
         chunk = Chunk(attrs=list(node.attrs), slots=slots, alive=alive,
                       capacity=capacity, ranges=ranges, unique_sets=unique_sets,
-                      fds=fds, max_counts=max_counts)
+                      fds=fds, max_counts=max_counts,
+                      bound=meta.get("rows"))
         if node.sample_kind:
             # TUPLESAMPLE/BLOCKSAMPLE n PERCENT (reference SampleOperator.hpp:60).
             # Deterministic hash-based Bernoulli sample on the row index.
@@ -144,11 +145,23 @@ class PlanRunner:
         return chunk
 
     def _exec_Generator(self, node: L.Generator) -> Chunk:
-        n = max(0, (node.end - node.start) // node.step + 1) \
-            if node.step != 0 else 0
-        capacity = max(K.round_up(n, 8), 8)
-        data = (jnp.arange(capacity, dtype=jnp.int64) * node.step + node.start)
         a = node.attrs[0]
+        if a.type.is_floating or isinstance(node.step, float) or \
+                isinstance(node.start, float) or isinstance(node.end, float):
+            # DOUBLE series (generate_series(1, 3, 0.5)); count uses a tiny
+            # epsilon so end lands inside the series despite fp rounding
+            import math
+            n = max(0, int(math.floor((node.end - node.start) / node.step
+                                      + 1e-9)) + 1) if node.step else 0
+            capacity = max(K.round_up(n, 8), 8)
+            data = (jnp.arange(capacity, dtype=jnp.float64) * node.step
+                    + node.start)
+        else:
+            n = max(0, (node.end - node.start) // node.step + 1) \
+                if node.step != 0 else 0
+            capacity = max(K.round_up(n, 8), 8)
+            data = (jnp.arange(capacity, dtype=jnp.int64) * node.step
+                    + node.start)
         return Chunk(attrs=list(node.attrs),
                      slots={a.expr_id: (data, None)},
                      alive=K.alive_mask(capacity, n), capacity=capacity,
@@ -217,8 +230,8 @@ class PlanRunner:
         mcs = {a: chunk.max_counts[i] for i, a in passthru.items()
                if i in chunk.max_counts}
         return Chunk(attrs=list(node.attrs), slots=slots, alive=chunk.alive,
-                     capacity=chunk.capacity, ranges=ranges, unique_sets=uniq,
-                     fds=fds, max_counts=mcs)
+                     capacity=chunk.capacity, bound=chunk.bound, ranges=ranges,
+                     unique_sets=uniq, fds=fds, max_counts=mcs)
 
     def _bind_subqueries(self, e: Expr):
         """Pre-execute uncorrelated scalar subqueries referenced by e."""
@@ -263,6 +276,16 @@ class PlanRunner:
             key_data.append(d)
             key_valid.append(v)
             key_ranges.append(infer_range(ge, chunk.ranges))
+
+        # Rows with a NULL group key are skipped entirely, matching the
+        # reference's hash tables (storage/HashTableKeyManager.hpp — null keys
+        # are never inserted, so they vanish from GROUP BY output).
+        alive = chunk.alive
+        for v in key_valid:
+            if v is not None:
+                alive = alive & v
+        if alive is not chunk.alive:
+            chunk = dataclasses.replace(chunk, alive=alive)
 
         agg_inputs = []
         distinct_flags = []
@@ -523,8 +546,10 @@ class PlanRunner:
     def _exec_Join(self, node: L.Join) -> Chunk:
         if node.kind == "cross":
             return self._cross_join(node)
-        probe = self.exec(node.left)
-        build = self.exec(node.right)
+        if not node.left_keys:
+            return self._nested_loops_join(node)
+        probe = self._squeeze(self.exec(node.left))
+        build = self._squeeze(self.exec(node.right))
         for e in node.left_keys + node.right_keys:
             self._bind_subqueries(e)
 
@@ -986,7 +1011,8 @@ class PlanRunner:
             if len(build_key_ids) == len(node.right_keys):
                 fds.append((build_key_ids, probe_key_ids))
         out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
-                    capacity=probe.capacity, ranges=ranges_out,
+                    capacity=probe.capacity, bound=probe.bound,
+                    ranges=ranges_out,
                     unique_sets=list(probe.unique_sets), fds=fds)
         if node.residual is not None:
             if node.kind == "left":
@@ -1062,8 +1088,9 @@ class PlanRunner:
         for i, a in enumerate(build.attrs):
             slots[a.expr_id] = (gathered[2 * i], gathered[2 * i + 1])
         alive = jnp.repeat(probe.alive, max_matches) & ok
+        pb = probe.bound if probe.bound is not None else probe.capacity
         out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
-                    capacity=cap,
+                    capacity=cap, bound=min(pb * max_matches, cap),
                     ranges={**{a.expr_id: probe.ranges.get(a.expr_id)
                                for a in probe.attrs},
                             **{a.expr_id: build.ranges.get(a.expr_id)
@@ -1073,10 +1100,14 @@ class PlanRunner:
             passed = self._eval_pred(out, node.residual)
             out.alive = out.alive & passed
         if node.kind == "left":
-            # keep unmatched probe rows once (k == 0 slot) with null build side
+            # ON-clause semantics: a probe row is matched only when some
+            # key-matched candidate ALSO passes the residual; otherwise it is
+            # kept once (k == 0 slot) with a null build side
+            has_match = out.alive.reshape(probe.capacity, max_matches).any(
+                axis=1)
             first_slot = (jnp.arange(cap) % max_matches) == 0
-            unmatched = (jnp.repeat(counts, max_matches) == 0) & first_slot & \
-                jnp.repeat(probe.alive, max_matches)
+            unmatched = jnp.repeat(probe.alive & ~has_match, max_matches) & \
+                first_slot
             out.alive = out.alive | unmatched
             for a in build.attrs:
                 d, v = out.slots[a.expr_id]
@@ -1149,9 +1180,71 @@ class PlanRunner:
                 return max(1, min(k, 256))
         return 8
 
+    def _compact_chunk(self, chunk: Chunk, target: int) -> Chunk:
+        """Gather live rows into a smaller static capacity (sound only when
+        `target` >= the chunk's static live-row bound). Payload-carrying sort
+        beats scatters on TPU (see K.compact_order)."""
+        quantum = 8
+        if self.mesh is not None:
+            quantum = max(quantum, int(self.mesh.devices.size))
+        target = max(K.round_up(target, quantum), quantum)
+        if target >= chunk.capacity:
+            return chunk
+        order = K.compact_order(chunk.alive)[:target]
+        slots = {}
+        for eid, (d, v) in chunk.slots.items():
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (chunk.capacity,))
+            slots[eid] = (d[order], None if v is None else v[order])
+        return dataclasses.replace(chunk, slots=slots,
+                                   alive=chunk.alive[order],
+                                   capacity=target, bound=target)
+
+    def _squeeze(self, chunk: Chunk) -> Chunk:
+        """Compact when the static bound is much smaller than capacity."""
+        if chunk.bound is not None and chunk.bound * 2 <= chunk.capacity:
+            return self._compact_chunk(chunk, chunk.bound)
+        return chunk
+
+    def _nested_loops_join(self, node: L.Join) -> Chunk:
+        """Block nested-loops theta join (NestedLoopsJoinOperator.hpp:65
+        analog): cross product then the ON predicate. Used when the ON clause
+        has no equi-key conjunct (pure theta / OR-of-equalities); supports
+        inner, left, semi, and anti kinds."""
+        left = self._squeeze(self.exec(node.left))
+        right = self._squeeze(self.exec(node.right))
+        if node.residual is not None:
+            self._bind_subqueries(node.residual)
+        cross = self._cross_pair(node, left, right)
+        passed = cross.alive
+        if node.residual is not None:
+            passed = passed & self._eval_pred(cross, node.residual)
+        if node.kind == "inner":
+            return dataclasses.replace(cross, alive=passed)
+        matched = passed.reshape(left.capacity, right.capacity).any(axis=1)
+        if node.kind == "semi":
+            return dataclasses.replace(left, alive=left.alive & matched)
+        if node.kind == "anti":
+            return dataclasses.replace(left, alive=left.alive & ~matched)
+        # left outer: matched pairs + one null-extended row per unmatched
+        first_slot = (jnp.arange(cross.capacity) % right.capacity) == 0
+        unmatched = jnp.repeat(left.alive & ~matched, right.capacity) & \
+            first_slot
+        alive = passed | unmatched
+        slots = dict(cross.slots)
+        for a in right.attrs:
+            d, v = slots[a.expr_id]
+            nv = (~unmatched) if v is None else (v & ~unmatched)
+            slots[a.expr_id] = (d, nv)
+        return dataclasses.replace(cross, alive=alive, slots=slots)
+
     def _cross_join(self, node: L.Join) -> Chunk:
-        left = self.exec(node.left)
-        right = self.exec(node.right)
+        left = self._squeeze(self.exec(node.left))
+        right = self._squeeze(self.exec(node.right))
+        return self._cross_pair(node, left, right)
+
+    def _cross_pair(self, node: L.Join, left: Chunk, right: Chunk) -> Chunk:
         cap = left.capacity * right.capacity
         if cap > (1 << 26):
             raise ExecutionError(
@@ -1172,8 +1265,10 @@ class PlanRunner:
                 d = jnp.broadcast_to(d, (right.capacity,))
             slots[a.expr_id] = (d[ridx], None if v is None else v[ridx])
         alive = left.alive[lidx] & right.alive[ridx]
+        lb = left.bound if left.bound is not None else left.capacity
+        rb = right.bound if right.bound is not None else right.capacity
         return Chunk(attrs=list(node.output), slots=slots, alive=alive,
-                     capacity=cap,
+                     capacity=cap, bound=min(lb * rb, cap),
                      ranges={**left.ranges, **right.ranges})
 
     # ----------------------------------------------------------------

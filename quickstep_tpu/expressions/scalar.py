@@ -95,6 +95,12 @@ class Lit(Expr):
         return jnp.asarray(self.value, dtype=self.type.device_dtype), None
 
     def key(self) -> tuple:
+        d = getattr(self, "_dictionary", None)
+        # dictionary-coded string literals: the code alone doesn't identify the
+        # value — include the decoded string in the fingerprint
+        if d is not None and isinstance(self.value, int) and \
+                0 <= self.value < len(d.values):
+            return ("lit", d.values[self.value], int(self.type.type_id))
         return ("lit", self.value, int(self.type.type_id))
 
 
@@ -461,6 +467,112 @@ class DictBitmapProbe(Expr):
     def key(self):
         bm = np.asarray(self.bitmap)
         return ("dictbitmap", hash(bm.tobytes()), self.negated, self.operand.key())
+
+
+def _days_from_civil(y, m, d):
+    """Howard Hinnant's branchless civil-date -> day-number (all int ops,
+    jittable). Day 0 = 1970-01-01."""
+    y = y - (m <= 2)
+    era = jnp.floor_divide(jnp.where(y >= 0, y, y - 399), 400)
+    yoe = y - era * 400
+    doy = jnp.floor_divide(153 * (m + jnp.where(m > 2, -3, 9)) + 2, 5) + d - 1
+    doe = yoe * 365 + jnp.floor_divide(yoe, 4) - jnp.floor_divide(yoe, 100) \
+        + doy
+    return era * 146097 + doe - 719468
+
+
+def _civil_from_days(z):
+    """Inverse of _days_from_civil; returns (y, m, d)."""
+    z = z + 719468
+    era = jnp.floor_divide(jnp.where(z >= 0, z, z - 146096), 146097)
+    doe = z - era * 146097
+    yoe = jnp.floor_divide(
+        doe - jnp.floor_divide(doe, 1460) + jnp.floor_divide(doe, 36524)
+        - jnp.floor_divide(doe, 146096), 365)
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + jnp.floor_divide(yoe, 4)
+                 - jnp.floor_divide(yoe, 100))
+    mp = jnp.floor_divide(5 * doy + 2, 153)
+    d = doy - jnp.floor_divide(153 * mp + 2, 5) + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    return y + (m <= 2), m, d
+
+
+def _device_days_in_month(y, m):
+    lengths = jnp.asarray([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                          dtype=jnp.int32)
+    base = lengths[jnp.clip(m - 1, 0, 11)]
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    return jnp.where((m == 2) & leap, 29, base)
+
+
+@dataclasses.dataclass
+class DateArith(Expr):
+    """DATE/DATETIME column ± a literal interval, evaluated on device
+    (the reference's DateOperatorOverloads.hpp / vectorized
+    ArithmeticBinaryOperators applied to Datetime/Date columns)."""
+    op: str = "+"            # + | -
+    operand: Expr = None     # DATE (packed int32 code) or DATETIME (int64 us)
+    months: int = 0          # YEARMONTH_INTERVAL amount
+    us: int = 0              # DATETIME_INTERVAL amount
+
+    def children(self):
+        return [self.operand]
+
+    def eval(self, ctx: EvalContext) -> ValuePair:
+        d, v = self.operand.eval(ctx)
+        sign = 1 if self.op == "+" else -1
+        if self.operand.type.type_id == TypeID.DATETIME:
+            return d + sign * self.us, v
+        # DATE packed code (y<<9 | m<<5 | d)
+        y = d >> 9
+        m = (d >> 5) & 0xF
+        dd = d & 0x1F
+        if self.months:
+            t = y * 12 + (m - 1) + sign * self.months
+            ny = jnp.floor_divide(t, 12)
+            nm = t - ny * 12 + 1
+            nd = jnp.minimum(dd, _device_days_in_month(ny, nm))
+        else:
+            days = sign * (self.us // 86_400_000_000)
+            z = _days_from_civil(y, m, dd) + days
+            ny, nm, nd = _civil_from_days(z)
+        return ((ny << 9) | (nm << 5) | nd).astype(d.dtype), v
+
+    def key(self):
+        return ("datearith", self.op, self.months, self.us, self.operand.key())
+
+
+@dataclasses.dataclass
+class DictMatrixProbe(Expr):
+    """Two-column string predicate (e.g. `email LIKE pattern` where both sides
+    are dictionary columns): a host-precomputed bool matrix over the two
+    dictionaries, probed on device as a flat gather — the TPU analog of the
+    reference's per-row re2 matching (PatternMatchingComparison.cpp)."""
+    lhs: Expr = None
+    rhs: Expr = None
+    matrix: object = None  # np.ndarray[bool] shape (|ldict|, |rdict|)
+    negated: bool = False
+
+    def children(self):
+        return [self.lhs, self.rhs]
+
+    def eval(self, ctx: EvalContext) -> ValuePair:
+        ld, lv = self.lhs.eval(ctx)
+        rd, rv = self.rhs.eval(ctx)
+        m = jnp.asarray(np.asarray(self.matrix).reshape(-1))
+        ncols = np.asarray(self.matrix).shape[1]
+        li = jnp.clip(ld, 0, np.asarray(self.matrix).shape[0] - 1)
+        ri = jnp.clip(rd, 0, ncols - 1)
+        res = m[li * ncols + ri]
+        if self.negated:
+            res = ~res
+        return res, _combine_valid(lv, rv)
+
+    def key(self):
+        m = np.asarray(self.matrix)
+        return ("dictmatrix", hash(m.tobytes()), self.negated,
+                self.lhs.key(), self.rhs.key())
 
 
 @dataclasses.dataclass

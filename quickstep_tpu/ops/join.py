@@ -102,16 +102,18 @@ def oa_build(key_cols: List[jnp.ndarray], alive: jnp.ndarray,
 
     def body(state):
         table, pending, slots, dup = state
-        # dead/settled rows scatter out of range
-        sidx = jnp.where(pending, slots, table_size)
-        cand = table.at[sidx].set(rows, mode="drop")
-        # a row is settled if it won its slot, or the slot already holds its key
-        # (duplicate build key -> flag)
-        occupant = cand[jnp.clip(slots, 0, table_size - 1)]
-        won = pending & (occupant == rows)
-        same_key = pending & (~won) & (occupant >= 0) & key_eq(
-            jnp.clip(occupant, 0, n - 1), rows)
+        # Inspect the CURRENT occupant first: a pending row must never scatter
+        # into an occupied slot (it would evict a settled entry and silently
+        # lose build rows — matches would vanish). Occupied-slot rows either
+        # settle as duplicates (same key) or advance.
+        cur = table[jnp.clip(slots, 0, table_size - 1)]
+        occupied = cur >= 0
+        same_key = pending & occupied & key_eq(jnp.clip(cur, 0, n - 1), rows)
         dup = dup | jnp.any(same_key)
+        attempt = pending & (~occupied)
+        sidx = jnp.where(attempt, slots, table_size)
+        cand = table.at[sidx].set(rows, mode="drop")
+        won = attempt & (cand[jnp.clip(slots, 0, table_size - 1)] == rows)
         still = pending & (~won) & (~same_key)
         slots = jnp.where(still, (slots + 1) & (table_size - 1), slots)
         return cand, still, slots, dup

@@ -145,9 +145,10 @@ def window_aggregate(
             hi = seg_last if end is None else \
                 jnp.minimum(seg_last, idx.astype(jnp.int32) + end)
         else:
-            if len(order_keys) != 1:
-                raise NotImplementedError(
-                    "RANGE with offsets requires exactly one ORDER BY key")
+            # RANGE offsets apply to the FIRST order key (the reference's
+            # window handles accept secondary keys as tie-breakers); rows
+            # sorted by (part, k1, k2) are also sorted by (part, k1), so the
+            # lex-searchsorted bounds below stay valid.
             # For DESC keys the sort key was order-reversed by an affine
             # negation, under which [v'-a, v'+b] is exactly the SQL window
             # (PRECEDING = larger original values) — no offset swap needed.
@@ -239,7 +240,6 @@ def _eval_frame(fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi):
             lo > 0, pcnt[jnp.maximum(lo - 1, 0)], jnp.zeros((), pcnt.dtype))
         cnt = jnp.where(hi < lo, jnp.zeros((), cnt.dtype), cnt)
         return m, cnt
-    psum = jnp.cumsum(contrib_sum)
     pcnt = jnp.cumsum(contrib_cnt)
 
     def rangesum(p, c):
@@ -247,7 +247,25 @@ def _eval_frame(fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi):
         below = jnp.where(lo > 0, p[jnp.maximum(lo - 1, 0)],
                           jnp.zeros((), c.dtype))
         return jnp.where(hi < lo, jnp.zeros((), c.dtype), total - below)
-    s = rangesum(psum, contrib_sum)
+
+    if jnp.issubdtype(contrib_sum.dtype, jnp.floating):
+        # Exact left-to-right accumulation per frame: prefix-sum differences
+        # round differently from the reference's sequential frame fold
+        # (WindowAggregationHandleAvg accumulates row-by-row), which shows up
+        # in the last float ulps of the golden corpus. O(n * max_width) scan.
+        n = contrib_sum.shape[0]
+        width = jnp.max(jnp.where(hi >= lo, hi - lo + 1, 0))
+
+        def body(k, acc):
+            j = lo + k
+            take = (j <= hi) & (j < n)
+            v = contrib_sum[jnp.clip(j, 0, n - 1)]
+            return acc + jnp.where(take, v, jnp.zeros((), contrib_sum.dtype))
+        s = jax.lax.fori_loop(
+            0, width, body, jnp.zeros_like(contrib_sum))
+    else:
+        psum = jnp.cumsum(contrib_sum)
+        s = rangesum(psum, contrib_sum)
     c = rangesum(pcnt, contrib_cnt)
     if fn == "count":
         return c, c

@@ -28,7 +28,7 @@ from quickstep_tpu.types import (
 from quickstep_tpu.types.datetime_util import date_add_months, date_add_days, US_PER_DAY
 from quickstep_tpu.expressions.scalar import (
     Expr, Attr, Lit, Arith, Cmp, Logical, Not, IsNull, Case, Cast, ExtractDate,
-    InSet, DictBitmapProbe, Substr, make_and, split_conjuncts,
+    InSet, DictBitmapProbe, Substr, DateArith, make_and, split_conjuncts,
 )
 from quickstep_tpu.expressions.aggregate import AggregateSpec
 from quickstep_tpu.optimizer import logical as L
@@ -139,10 +139,10 @@ class Resolver:
                 rhs = self.resolve_select(rhs_ast, outer_scope)
                 plan = self._make_set_op(op, plan, rhs, stmt)
             if stmt.set_ops:
-                if stmt.order_by:
+                if stmt.set_order_by:
                     plan = self._attach_order_limit_post(plan, stmt)
-                elif stmt.limit is not None:
-                    plan = L.Limit(input=plan, limit=stmt.limit)
+                elif stmt.set_limit is not None:
+                    plan = L.Limit(input=plan, limit=stmt.set_limit)
             return plan
         finally:
             self.cte_registry = saved_ctes
@@ -204,10 +204,7 @@ class Resolver:
             proj_exprs = [_attr_of(a) for a in plan.output]
             proj_names = [a.name for a in plan.output]
 
-        # ---- ORDER BY / LIMIT ----
-        if stmt.set_ops:
-            # order/limit belong to the whole set operation; applied by the caller
-            return self._make_project(plan, proj_exprs, proj_names)
+        # ---- ORDER BY / LIMIT (branch-local even under a set operation) ----
         if stmt.order_by:
             plan = self._resolve_order_by(stmt, plan, proj_exprs, proj_names,
                                           scope, state)
@@ -228,7 +225,7 @@ class Resolver:
                 return node
             rel = self.db.get_relation(tref.name)
             if rel is None:
-                raise ResolutionError(f"unknown relation {tref.name}",
+                raise ResolutionError(f"Unrecognized relation {tref.name}",
                                       tref.line, tref.column)
             attrs = []
             for a in rel.attributes:
@@ -254,22 +251,35 @@ class Resolver:
             if tref.name.lower() != "generate_series":
                 raise ResolutionError(f"unknown table function {tref.name}",
                                       tref.line, tref.column)
+            # arg checks: message parity with expressions/table_generator/
+            # GenerateSeries.hpp:88 (concretize) error strings
+            if len(tref.args) not in (2, 3):
+                raise ResolutionError("Invalid number of arguments",
+                                      tref.line, tref.column)
             args = [self._resolve_expr(a, scope, ResolveState()) for a in tref.args]
             vals = []
             for a in args:
-                if not isinstance(a, Lit):
-                    raise ResolutionError("generate_series arguments must be literals",
+                if not isinstance(a, Lit) or isinstance(a.value, str) or \
+                        a.value is None:
+                    raise ResolutionError("Invalid argument types",
                                           tref.line, tref.column)
-                vals.append(int(a.value))
+                vals.append(a.value)
             start = vals[0]
-            end = vals[1] if len(vals) > 1 else vals[0]
+            end = vals[1]
             step = vals[2] if len(vals) > 2 else 1
+            if step == 0 or (end - start) * step < 0:
+                raise ResolutionError("Invalid step width",
+                                      tref.line, tref.column)
             col_name = (tref.column_aliases[0] if tref.column_aliases
                         else "generate_series")
             # output type = unified type of the arguments (GenerateSeries.hpp:88)
             gen_t = args[0].type
             for a in args[1:]:
                 gen_t = TypeFactory.unify(gen_t, a.type) or LONG
+            if gen_t.is_floating:
+                from quickstep_tpu.types import DOUBLE as _D
+                gen_t = _D
+                start, end, step = float(start), float(end), float(step)
             attr = OutAttr(next_expr_id(), col_name, gen_t)
             node = L.Generator(start=start, end=end, step=step, attrs=[attr])
             scope.add_all(tref.alias or "generate_series", node.output)
@@ -339,6 +349,13 @@ class Resolver:
                 li = comp_of(lids) if lids else None
                 ri = comp_of(rids) if rids else None
                 if li is not None and ri is not None and li != ri:
+                    if f.lhs.type.type_id != f.rhs.type.type_id:
+                        # parity with ExecutionGenerator::convertHashJoin
+                        # (query_optimizer/ExecutionGenerator.cpp) — hash keys
+                        # must be of one type
+                        raise ResolutionError(
+                            "Equality join predicate between two attributes of "
+                            "different types is not allowed in HashJoin")
                     join_edges.append((li, ri, f.lhs, f.rhs))
                     continue
             residuals.append(f)
@@ -540,6 +557,29 @@ class Resolver:
             if spec_key in agg_index:
                 i = agg_index[spec_key]
                 return _attr_of(agg_attrs[i])
+            if fn == "avg" and not fc.distinct and \
+                    ("sum", False, arg.key()) in agg_index:
+                # ReuseAggregateExpressions analog (query_optimizer/rules/
+                # ReuseAggregateExpressions.hpp): AVG(e) reuses an existing
+                # SUM(e) as SUM(e)/COUNT(e) — note the SQL divide typing
+                # (LONG/LONG is integer division, as the reference prints)
+                sum_attr = _attr_of(agg_attrs[agg_index[("sum", False,
+                                                         arg.key())]])
+                if arg.type.nullable:
+                    cnt_key = ("count", False, arg.key())
+                    cnt_spec = AggregateSpec(fn="count", arg=arg, distinct=False,
+                                             result_type=LONG)
+                else:
+                    cnt_key = ("count_star", False)
+                    cnt_spec = AggregateSpec(fn="count", arg=None, distinct=False,
+                                             result_type=LONG)
+                if cnt_key not in agg_index:
+                    cattr = OutAttr(next_expr_id(), f"count_{len(aggs)}", LONG)
+                    agg_index[cnt_key] = len(aggs)
+                    aggs.append(cnt_spec)
+                    agg_attrs.append(cattr)
+                cnt_attr = _attr_of(agg_attrs[agg_index[cnt_key]])
+                return self._make_binary("/", sum_attr, cnt_attr, fc)
             rtype = AggregateSpec.result_type_for(fn, arg)
             spec = AggregateSpec(fn=fn, arg=arg, distinct=fc.distinct,
                                  result_type=rtype)
@@ -557,6 +597,11 @@ class Resolver:
             if isinstance(ast_e, A.FunctionCall) and ast_e.name in (
                     "sum", "count", "avg", "min", "max") and ast_e.window is None:
                 return make_agg(ast_e)
+            # select-list alias (HAVING group_alias > 5)
+            if isinstance(ast_e, A.ColumnRef) and ast_e.table is None and \
+                    ast_e.name.lower() in alias_map and \
+                    not _scope_has(scope, ast_e.name):
+                return rewrite(alias_map[ast_e.name.lower()])
             # try as group expression
             try:
                 e = self._resolve_expr(ast_e, scope, state)
@@ -572,6 +617,8 @@ class Resolver:
             if isinstance(ast_e, A.BinaryExpr):
                 le = rewrite(ast_e.left)
                 re_ = rewrite(ast_e.right)
+                if ast_e.op in ("AND", "OR"):
+                    return Logical(op=ast_e.op, operands=[le, re_], type=INT)
                 return self._make_binary(ast_e.op, le, re_, ast_e)
             if isinstance(ast_e, A.UnaryExpr):
                 oe = rewrite(ast_e.operand)
@@ -587,6 +634,55 @@ class Resolver:
             raise ResolutionError(
                 "expression must appear in GROUP BY or be inside an aggregate",
                 ast_e.line, ast_e.column)
+
+        # Pre-register SUM aggregates so AVG over the same argument reuses
+        # them regardless of select-list order (ReuseAggregateExpressions).
+        def _prereg_sums(ast_e):
+            if ast_e is None or not dataclasses.is_dataclass(ast_e):
+                return
+            if isinstance(ast_e, A.FunctionCall):
+                if ast_e.name == "sum" and ast_e.window is None and \
+                        not ast_e.distinct and ast_e.args:
+                    try:
+                        make_agg(ast_e)
+                    except ResolutionError:
+                        pass
+                    return
+                if ast_e.name in ("count", "avg", "min", "max") and \
+                        ast_e.window is None:
+                    return
+            for f in dataclasses.fields(ast_e):
+                v = getattr(ast_e, f.name)
+                if isinstance(v, A.Expr):
+                    _prereg_sums(v)
+                elif isinstance(v, list):
+                    for x in v:
+                        if isinstance(x, A.Expr):
+                            _prereg_sums(x)
+                        elif isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, A.Expr):
+                                    _prereg_sums(y)
+
+        def _contains_avg(ast_e):
+            if not dataclasses.is_dataclass(ast_e):
+                return False
+            if isinstance(ast_e, A.FunctionCall) and ast_e.name == "avg" and \
+                    ast_e.window is None:
+                return True
+            for f in dataclasses.fields(ast_e):
+                v = getattr(ast_e, f.name)
+                vs = v if isinstance(v, list) else [v]
+                for x in vs:
+                    xs = x if isinstance(x, tuple) else (x,)
+                    if any(isinstance(y, A.Expr) and _contains_avg(y)
+                           for y in xs):
+                        return True
+            return False
+
+        if any(_contains_avg(it.expr) for it in select_items):
+            for item in select_items:
+                _prereg_sums(item.expr)
 
         proj_exprs: List[Expr] = []
         proj_names: List[str] = []
@@ -673,7 +769,7 @@ class Resolver:
         set-op output schema by name/position."""
         name_to_idx = {a.name.lower(): i for i, a in enumerate(plan.output)}
         keys, asc, nf = [], [], []
-        for item in stmt.order_by:
+        for item in stmt.set_order_by:
             if isinstance(item.expr, A.ColumnRef) and \
                     item.expr.name.lower() in name_to_idx:
                 a = plan.output[name_to_idx[item.expr.name.lower()]]
@@ -686,7 +782,7 @@ class Resolver:
             asc.append(item.ascending)
             nf.append(item.nulls_first)
         return L.Sort(input=plan, keys=keys, ascending=asc, nulls_first=nf,
-                      limit=stmt.limit)
+                      limit=stmt.set_limit)
 
     # ----------------------------------------------------------------
     # helpers for plan construction
@@ -696,6 +792,7 @@ class Resolver:
         attrs = []
         new_exprs = []
         for e, n in zip(exprs, names):
+            e = _encode_string_lit(e)
             attrs.append(OutAttr(next_expr_id(), n, e.type, _expr_dictionary(e)))
             new_exprs.append(e)
         return L.Project(input=plan, exprs=new_exprs, attrs=attrs)
@@ -814,7 +911,9 @@ class Resolver:
             if operand.type.type_id not in (TypeID.DATE, TypeID.DATETIME):
                 raise ResolutionError("EXTRACT requires a DATE or DATETIME argument",
                                       e.line, e.column)
-            return ExtractDate(field=e.field, operand=operand, type=INT)
+            # DateExtractOperation returns LONG
+            # (types/operations/unary_operations/DateExtractOperation.cpp)
+            return ExtractDate(field=e.field, operand=operand, type=LONG)
         if isinstance(e, A.SubstringExpr):
             return self._resolve_substring(e, scope, state)
         if isinstance(e, A.ScalarSubqueryExpr):
@@ -852,6 +951,32 @@ class Resolver:
         if rt.type_id in (TypeID.DATE, TypeID.DATETIME) and lt.type_id in (
                 TypeID.DATETIME_INTERVAL, TypeID.YEARMONTH_INTERVAL) and op == "+":
             return self._fold_date_arith(op, rhs, lhs, node)
+        # DATETIME - DATETIME -> DatetimeInterval
+        # (types/operations/binary_operations/SubtractBinaryOperation)
+        if lt.type_id == rt.type_id == TypeID.DATETIME and op == "-":
+            t = Type(TypeID.DATETIME_INTERVAL)
+            if isinstance(lhs, Lit) and isinstance(rhs, Lit):
+                return Lit(value=lhs.value - rhs.value, type=t)
+            return Arith(op="-", lhs=lhs, rhs=rhs, type=t)
+        # interval +- interval (same kind)
+        if lt.type_id == rt.type_id and lt.type_id in (
+                TypeID.DATETIME_INTERVAL, TypeID.YEARMONTH_INTERVAL) and \
+                op in ("+", "-"):
+            if isinstance(lhs, Lit) and isinstance(rhs, Lit):
+                v = lhs.value + rhs.value if op == "+" else lhs.value - rhs.value
+                return Lit(value=v, type=lt)
+            return Arith(op=op, lhs=lhs, rhs=rhs, type=lt)
+        # interval * integer (either order)
+        if op == "*" and lt.type_id in (TypeID.DATETIME_INTERVAL,
+                                        TypeID.YEARMONTH_INTERVAL) and \
+                rt.is_integral:
+            if isinstance(lhs, Lit) and isinstance(rhs, Lit):
+                return Lit(value=lhs.value * rhs.value, type=lt)
+            return Arith(op="*", lhs=lhs, rhs=rhs, type=lt)
+        if op == "*" and rt.type_id in (TypeID.DATETIME_INTERVAL,
+                                        TypeID.YEARMONTH_INTERVAL) and \
+                lt.is_integral:
+            return self._make_binary("*", rhs, lhs, node)
         # arithmetic with a NULL literal is constantly NULL, typed by the other
         # side (reference NullCoercibilityCoreCheck: NullType coerces to any)
         if lt.type_id == TypeID.NULLTYPE or rt.type_id == TypeID.NULLTYPE:
@@ -914,14 +1039,29 @@ class Resolver:
                       state: ResolveState) -> Expr:
         operand = self._resolve_expr(e.left, scope, state)
         pat = self._resolve_expr(e.right, scope, state)
-        if not isinstance(pat, Lit) or not isinstance(pat.value, str):
-            raise ResolutionError("LIKE pattern must be a string literal",
-                                  e.line, e.column)
         d = _expr_dictionary(operand)
         if d is None:
             raise ResolutionError("LIKE requires a string operand",
                                   e.line, e.column)
         negated = e.op.startswith("NOT_")
+        if not (isinstance(pat, Lit) and isinstance(pat.value, str)):
+            # column pattern (email LIKE pattern): precompute the full
+            # value x pattern match matrix over the two dictionaries
+            pd = _expr_dictionary(pat)
+            if pd is None:
+                raise ResolutionError("LIKE pattern must be a string expression",
+                                      e.line, e.column)
+            if len(d) * len(pd) > (1 << 24):
+                raise ResolutionError(
+                    "LIKE over two columns exceeds the dictionary-product limit",
+                    e.line, e.column)
+            from quickstep_tpu.expressions.scalar import DictMatrixProbe
+            if e.op.endswith("REGEXP"):
+                mat = np.stack([d.match_regex(p) for p in pd.values], axis=1)
+            else:
+                mat = np.stack([d.match_like(p) for p in pd.values], axis=1)
+            return DictMatrixProbe(lhs=operand, rhs=pat, matrix=mat,
+                                   negated=negated, type=INT)
         if e.op.endswith("REGEXP"):
             bitmap = d.match_regex(pat.value)
         else:
@@ -943,14 +1083,21 @@ class Resolver:
                 strs.append(it.value)
             return DictBitmapProbe(operand=operand, bitmap=d.match_in(strs),
                                    negated=e.negated, type=INT)
-        vals = []
+        if all(isinstance(it, Lit) for it in items):
+            vals = [it.value for it in items]
+            return InSet(operand=operand, values=tuple(vals), negated=e.negated,
+                         type=INT)
+        # general expressions in the IN list: expand to an OR of equalities
+        # (x IN (a, b) == x=a OR x=b; NOT IN negates the disjunction)
+        disj = None
         for it in items:
-            if not isinstance(it, Lit):
-                raise ResolutionError("IN list must contain literals",
-                                      e.line, e.column)
-            vals.append(it.value)
-        return InSet(operand=operand, values=tuple(vals), negated=e.negated,
-                     type=INT)
+            cmp = self._make_binary("=", operand, it, e)
+            disj = cmp if disj is None else Logical(op="OR",
+                                                    operands=[disj, cmp], type=INT)
+        if e.negated:
+            from quickstep_tpu.expressions.scalar import Not
+            return Not(operand=disj, type=INT)
+        return disj
 
     def _resolve_case(self, e: A.CaseExpr, scope: Scope, state: ResolveState,
                       rewriter=None) -> Expr:
@@ -973,6 +1120,16 @@ class Resolver:
             result_type = TypeFactory.unify(result_type, else_r.type)
         else:
             result_type = result_type.with_nullable(True)
+        if result_type is not None and result_type.is_string:
+            # all branches must share one dictionary code space
+            results = [r for _, r in whens] + (
+                [else_r] if else_r is not None else [])
+            merged, wrapped = _unify_string_exprs(results, e.line, e.column)
+            whens = [(c, w) for (c, _), w in zip(whens, wrapped)]
+            else_r = wrapped[-1] if else_r is not None else None
+            out = Case(when_clauses=whens, else_result=else_r, type=result_type)
+            out._dictionary = merged
+            return out
         return Case(when_clauses=whens, else_result=else_r, type=result_type)
 
     def _resolve_substring(self, e: A.SubstringExpr, scope: Scope,
@@ -1084,10 +1241,26 @@ class Resolver:
 
     def _fold_date_arith(self, op: str, date_e: Expr, interval_e: Expr,
                          node: A.Node) -> Expr:
-        if not (isinstance(date_e, Lit) and isinstance(interval_e, Lit)):
+        if not isinstance(interval_e, Lit):
             raise ResolutionError(
-                "date arithmetic on columns is not yet supported; use literals",
+                "date arithmetic requires a literal interval",
                 node.line, node.column)
+        if not isinstance(date_e, Lit):
+            # column ± literal interval: evaluate on device
+            if interval_e.type.type_id == TypeID.YEARMONTH_INTERVAL:
+                if date_e.type.type_id == TypeID.DATETIME:
+                    raise ResolutionError(
+                        "DATETIME +- month interval not supported",
+                        node.line, node.column)
+                return DateArith(op=op, operand=date_e,
+                                 months=int(interval_e.value),
+                                 type=date_e.type)
+            if date_e.type.type_id == TypeID.DATE and \
+                    interval_e.value % US_PER_DAY != 0:
+                raise ResolutionError("DATE +- sub-day interval not supported",
+                                      node.line, node.column)
+            return DateArith(op=op, operand=date_e,
+                             us=int(interval_e.value), type=date_e.type)
         sign = 1 if op == "+" else -1
         if date_e.type.type_id == TypeID.DATE:
             if interval_e.type.type_id == TypeID.YEARMONTH_INTERVAL:
@@ -1313,6 +1486,51 @@ def _default_name(e: A.Expr) -> str:
 
 def _expr_name(e: Expr) -> str:
     return getattr(e, "name", "expr")
+
+
+def _encode_string_lit(e: Expr) -> Expr:
+    """Raw string literals carry their python str until consumed; when one
+    becomes an output column it is dictionary-coded (singleton dictionary,
+    code 0) so the device only ever sees int32 codes."""
+    if isinstance(e, Lit) and isinstance(e.value, str):
+        d = Dictionary([e.value])
+        out = Lit(value=0, type=e.type)
+        out._dictionary = d
+        return out
+    return e
+
+
+def _unify_string_exprs(exprs: List[Expr], line=None, column=None):
+    """Re-encode string expressions onto one merged dictionary (for CASE
+    branches / value lists that must share a code space). Returns
+    (merged_dict, wrapped_exprs)."""
+    from quickstep_tpu.expressions.scalar import Substr
+    dicts = []
+    for e in exprs:
+        if isinstance(e, Lit) and isinstance(e.value, str):
+            dicts.append(Dictionary([e.value]))
+        else:
+            d = _expr_dictionary(e)
+            if d is None:
+                raise ResolutionError("cannot mix string and non-string values",
+                                      line, column)
+            dicts.append(d)
+    merged = dicts[0]
+    for d in dicts[1:]:
+        merged, _, _ = Dictionary.merge(merged, d)
+    wrapped = []
+    for e, d in zip(exprs, dicts):
+        if isinstance(e, Lit) and isinstance(e.value, str):
+            ne = Lit(value=merged.code_of(e.value), type=e.type)
+        elif d.values == merged.values:
+            ne = e
+        else:
+            remap = np.asarray([merged._index[v] for v in d.values],
+                               dtype=np.int32)
+            ne = Substr(operand=e, remap=remap, type=e.type)
+        ne._dictionary = merged
+        wrapped.append(ne)
+    return merged, wrapped
 
 
 def _expr_dictionary(e: Optional[Expr]) -> Optional[Dictionary]:

@@ -36,6 +36,7 @@ class Literal(Expr):
 class IntervalLiteral(Expr):
     kind: str = ""    # 'datetime_interval' | 'yearmonth_interval'
     amount: int = 0   # microseconds or months
+    text: Optional[str] = None    # original source spelling, e.g. "1 year"
 
 
 @dataclasses.dataclass
@@ -238,6 +239,12 @@ class SelectStmt(Statement):
     # left-associative set-operation chain applied to this select:
     # [(op, rhs), ...] with op in {union, union_all, intersect}
     set_ops: List[Tuple[str, "SelectStmt"]] = dataclasses.field(default_factory=list)
+    # ORDER BY/LIMIT over the whole set operation (only when the last operand
+    # was parenthesized; otherwise a trailing ORDER BY binds to the last
+    # operand, as in the reference grammar — order_by/limit above are
+    # branch-local)
+    set_order_by: List[OrderItem] = dataclasses.field(default_factory=list)
+    set_limit: Optional[int] = None
     priority: Optional[int] = None        # WITH PRIORITY clause (ParsePriority.hpp)
 
 
@@ -259,6 +266,8 @@ class CreateTableStmt(Statement):
     block_properties: dict = dataclasses.field(default_factory=dict)
     partition_kind: Optional[str] = None      # hash | range
     partition_attrs: List[str] = dataclasses.field(default_factory=list)
+    partition_attr_pos: List[Tuple[int, int]] = dataclasses.field(
+        default_factory=list)            # (line, col) per attr, for SqlError
     partition_count: int = 0
 
 
@@ -300,8 +309,9 @@ class DeleteStmt(Statement):
 class CopyStmt(Statement):
     table_name: str = ""
     direction: str = "from"       # from | to
-    path: str = ""
-    options: dict = dataclasses.field(default_factory=dict)  # delimiter, escape_strings, header
+    path: str = ""                # file path, or 'stdout'/'stderr'
+    select: Optional["SelectStmt"] = None   # COPY <query> TO ...
+    options: dict = dataclasses.field(default_factory=dict)  # delimiter, format, header, null_string
 
 
 @dataclasses.dataclass
@@ -321,6 +331,10 @@ def generate_name(e: "Expr") -> str:
     if isinstance(e, Literal):
         if e.value is None:
             return "NULL"
+        if e.type_hint == "date":
+            return f"Date('{e.text}')"
+        if e.type_hint == "datetime":
+            return f"Datetime('{e.text}')"
         if isinstance(e.value, str) and e.type_hint is None:
             return f"'{e.value}'"
         if e.text is not None:
@@ -328,6 +342,13 @@ def generate_name(e: "Expr") -> str:
         if isinstance(e.value, float):
             return repr(e.value)
         return str(e.value)
+    if isinstance(e, IntervalLiteral):
+        # reference TypedValue names: DatetimeInterval('1 day') etc.
+        tn = ("YearMonthInterval" if e.kind == "yearmonth_interval"
+              else "DatetimeInterval")
+        return f"{tn}('{e.text}')"
+    if isinstance(e, ScalarSubqueryExpr):
+        return "SubqueryExpression"
     if isinstance(e, ColumnRef):
         return f"{e.table}.{e.name}" if e.table else e.name
     if isinstance(e, Star):

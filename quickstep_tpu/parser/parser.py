@@ -93,7 +93,27 @@ class _Parser:
             parts = t.value.split()
             return A.CommandStmt(command=parts[0], args=parts[1:],
                                  line=t.line, column=t.column)
-        if t.is_kw("select") or t.is_kw("with") or self.at_op("("):
+        if t.is_kw("with"):
+            # WITH ctes {SELECT | INSERT | COPY} (reference grammar allows a
+            # CTE prefix on INSERT ... SELECT and COPY <query> TO)
+            entries = self.parse_with_entries()
+            nxt = self.peek()
+            if nxt.is_kw("insert"):
+                stmt = self.parse_insert()
+                if stmt.select is None:
+                    raise self.err("WITH requires INSERT ... SELECT")
+                stmt.select.with_entries = entries + stmt.select.with_entries
+                return stmt
+            if nxt.is_kw("copy"):
+                stmt = self.parse_copy()
+                if stmt.select is None:
+                    raise self.err("WITH requires COPY <query> TO")
+                stmt.select.with_entries = entries + stmt.select.with_entries
+                return stmt
+            sel = self.parse_select()
+            sel.with_entries = entries + sel.with_entries
+            return sel
+        if t.is_kw("select") or self.at_op("("):
             return self.parse_select()
         if t.is_kw("create"):
             return self.parse_create()
@@ -113,27 +133,33 @@ class _Parser:
         raise self.err("expected a SQL statement")
 
     # ---------- SELECT ----------
+    def parse_with_entries(self) -> List[A.WithEntry]:
+        self.expect_kw("with")
+        entries: List[A.WithEntry] = []
+        while True:
+            name = self.expect_ident()
+            col_aliases: List[str] = []
+            if self.accept_op("("):
+                while True:
+                    col_aliases.append(self.expect_ident())
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            self.expect_kw("as")
+            self.expect_op("(")
+            q = self.parse_select()
+            self.expect_op(")")
+            entries.append(A.WithEntry(name=name, column_aliases=col_aliases,
+                                       query=q))
+            if not self.accept_op(","):
+                break
+        return entries
+
     def parse_select(self) -> A.SelectStmt:
         t = self.peek()
         with_entries: List[A.WithEntry] = []
-        if self.accept_kw("with"):
-            while True:
-                name = self.expect_ident()
-                col_aliases: List[str] = []
-                if self.accept_op("("):
-                    while True:
-                        col_aliases.append(self.expect_ident())
-                        if not self.accept_op(","):
-                            break
-                    self.expect_op(")")
-                self.expect_kw("as")
-                self.expect_op("(")
-                q = self.parse_select()
-                self.expect_op(")")
-                with_entries.append(A.WithEntry(name=name, column_aliases=col_aliases,
-                                                query=q))
-                if not self.accept_op(","):
-                    break
+        if self.at_kw("with"):
+            with_entries = self.parse_with_entries()
         stmt = self.parse_select_body()
         stmt.with_entries = with_entries
         stmt.line, stmt.column = t.line, t.column
@@ -146,19 +172,17 @@ class _Parser:
             elif op == "union":
                 self.accept_kw("distinct")
             rhs = self.parse_select_body_or_paren()
-            # a trailing ORDER BY/LIMIT parsed into the rhs body actually applies
-            # to the whole set operation (standard SQL)
-            if not rhs.set_ops and (rhs.order_by or rhs.limit is not None):
-                stmt.order_by = rhs.order_by
-                stmt.limit = rhs.limit
-                rhs.order_by = []
-                rhs.limit = None
+            # Reference grammar (SqlParser.ypp): each set-operation operand is a
+            # full select_query carrying its own ORDER BY/LIMIT (see the
+            # execution_generator Union.test LIMIT-per-branch case), so a
+            # trailing ORDER BY binds to the last operand, not the whole union.
             stmt.set_ops.append((op, rhs))
         # trailing ORDER BY / LIMIT applying to the whole set operation
+        # (reachable only when the last operand was parenthesized)
         if stmt.set_ops and self.at_kw("order"):
-            stmt.order_by = self.parse_order_by()
+            stmt.set_order_by = self.parse_order_by()
         if stmt.set_ops and self.accept_kw("limit"):
-            stmt.limit = int(self.next().value)
+            stmt.set_limit = int(self.next().value)
         return stmt
 
     def parse_select_body_or_paren(self) -> A.SelectStmt:
@@ -524,12 +548,13 @@ class _Parser:
                 code = parse_date_literal(s.value)
             except ValueError as e:
                 raise ParseError(str(e), s.line, s.column)
-            return A.Literal(value=code, type_hint="date", line=t.line, column=t.column)
+            return A.Literal(value=code, type_hint="date", text=str(s.value),
+                             line=t.line, column=t.column)
         if self.at_kw("datetime", "timestamp") and self.peek(1).kind == "string":
             self.next()
             s = self.next()
             return A.Literal(value=parse_datetime_literal(s.value), type_hint="datetime",
-                             line=t.line, column=t.column)
+                             text=str(s.value), line=t.line, column=t.column)
         if self.at_kw("interval"):
             self.next()
             s = self.next()
@@ -543,7 +568,7 @@ class _Parser:
                 kind, amount = parse_interval_literal(text)
             else:
                 raise ParseError("expected INTERVAL literal string", s.line, s.column)
-            return A.IntervalLiteral(kind=kind, amount=amount,
+            return A.IntervalLiteral(kind=kind, amount=amount, text=text,
                                      line=t.line, column=t.column)
         if self.at_kw("case"):
             return self.parse_case()
@@ -564,8 +589,10 @@ class _Parser:
             self.expect_kw("from")
             operand = self.parse_expr()
             self.expect_op(")")
+            # the reference prints the unit uppercase in generated names
+            # (ParseBasicExpressions.cpp ParseExtractFunction::generateName)
             return A.ExtractExpr(field=field, operand=operand,
-                                 field_src=str(field_tok.value),
+                                 field_src=str(field_tok.value).upper(),
                                  line=t.line, column=t.column)
         if self.at_kw("substring"):
             self.next()
@@ -738,7 +765,9 @@ class _Parser:
                 stmt.partition_kind = str(kind).lower()
                 self.expect_op("(")
                 while True:
+                    ptok = self.peek()
                     stmt.partition_attrs.append(self.expect_ident())
+                    stmt.partition_attr_pos.append((ptok.line, ptok.column))
                     if not self.accept_op(","):
                         break
                 self.expect_op(")")
@@ -815,23 +844,30 @@ class _Parser:
 
     def parse_copy(self) -> A.CopyStmt:
         t = self.expect_kw("copy")
-        name = self.expect_ident()
+        name = ""
+        select: Optional[A.SelectStmt] = None
+        if self.at_kw("select", "with") or self.at_op("("):
+            # COPY <query> TO ... (reference SqlParser.ypp copy_to_target)
+            select = self.parse_select()
+        else:
+            name = self.expect_ident()
         direction_tok = self.next()
         if direction_tok.is_kw("from"):
             direction = "from"
         elif direction_tok.kind == "ident" and direction_tok.value.lower() == "to":
             direction = "to"
-        elif direction_tok.is_kw("into") if False else False:
-            direction = "to"
         else:
             # TO is not a keyword in our lexer: accept ident 'to'
             raise ParseError("expected FROM or TO in COPY", direction_tok.line,
+                             direction_tok.column)
+        if select is not None and direction != "to":
+            raise ParseError("COPY <query> requires TO", direction_tok.line,
                              direction_tok.column)
         path_tok = self.next()
         if path_tok.kind != "string" and not path_tok.is_kw("stdout") and \
                 not path_tok.is_kw("stderr"):
             raise ParseError("expected file path string", path_tok.line, path_tok.column)
-        stmt = A.CopyStmt(table_name=name, direction=direction,
+        stmt = A.CopyStmt(table_name=name, direction=direction, select=select,
                           path=str(path_tok.value), line=t.line, column=t.column)
         if self.accept_kw("with"):
             self.expect_op("(")

@@ -117,21 +117,58 @@ def _parse_column(typ: Type, raw: List[str]) -> Column:
     return Column(typ, vals, valid, None)
 
 
-def export_csv(path: str, data: TableData, delimiter: str = "|",
-               header: bool = False) -> int:
-    rows = data.to_rows()
-    names = data.names
+def format_export(names: List[str], types: List[Type], rows,
+                  options: Optional[dict] = None) -> str:
+    """COPY TO text, reference TableExportOperator semantics
+    (relational_operators/TableExportOperator.hpp:61; options parsed in
+    ParseStatement.hpp COPY WITH clause):
+
+    - FORMAT 'TEXT' (default): delimiter '\\t', no header, NULL printed as
+      the NULL_STRING option (default '\\N'), special chars backslash-escaped
+    - FORMAT 'CSV': delimiter ',', HEADER TRUE by default, NULL as '' unless
+      NULL_STRING given; fields containing delimiter/quote/newline are
+      double-quote quoted with embedded quotes doubled
+
+    Values render in the width-0 PrintToScreen form (dates as 2000-01-01 etc).
+    """
+    options = options or {}
+    fmt = str(options.get("format", "text")).lower()
+    is_csv = fmt == "csv"
+    delim = str(options.get("delimiter", "," if is_csv else "\t"))
+    header = bool(options.get("header", is_csv))
+    null_str = str(options.get("null_string", "" if is_csv else "\\N"))
+    from quickstep_tpu.exec.result import _format_cell
+
+    def field(v, t) -> str:
+        if v is None:
+            return null_str
+        s = _format_cell(v, t)
+        if is_csv:
+            if ('"' in s) or (delim in s) or ("\n" in s) or ("\r" in s):
+                return '"' + s.replace('"', '""') + '"'
+            return s
+        s = s.replace("\\", "\\\\")
+        for ch, esc in (("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+            s = s.replace(ch, esc)
+        if delim not in "\t\n\r":
+            s = s.replace(delim, "\\" + delim)
+        return s
+
     out_lines = []
     if header:
-        out_lines.append(delimiter.join(names))
+        out_lines.append(delim.join(names))
     for r in rows:
-        out_lines.append(delimiter.join(
-            "" if v is None else str(v) for v in r))
-    text = "\n".join(out_lines) + ("\n" if out_lines else "")
-    if path in ("stdout", "$stdout"):
-        import sys
-        sys.stdout.write(text)
-    else:
-        with open(path, "w") as f:
-            f.write(text)
-    return len(rows)
+        out_lines.append(delim.join(field(v, t) for v, t in zip(r, types)))
+    return "\n".join(out_lines) + ("\n" if out_lines else "")
+
+
+def export_csv(path: str, names: List[str], types: List[Type], rows,
+               options: Optional[dict] = None) -> str:
+    """Write/emit COPY TO output; returns the text for stdout/stderr targets
+    (the CLI/golden runner prints it), else writes the file and returns ''."""
+    text = format_export(names, types, rows, options)
+    if path in ("stdout", "stderr", "$stdout", "$stderr"):
+        return text
+    with open(path, "w") as f:
+        f.write(text)
+    return ""

@@ -84,7 +84,7 @@ def datetime_to_str(us_since_epoch: int) -> str:
     return base
 
 
-_DATE_RE = re.compile(r"^(\d{1,5})-(\d{1,2})-(\d{1,2})$")
+_DATE_RE = re.compile(r"^\+?(\d{1,5})-(\d{1,2})-(\d{1,2})$")
 _DATETIME_RE = re.compile(
     r"^(\d{1,5})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,6}))?)?$")
 

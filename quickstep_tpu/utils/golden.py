@@ -102,6 +102,7 @@ def _has_toplevel_order_by(sql: str) -> bool:
     i = 0
     n = len(sql)
     low = sql.lower()
+    has_order = False
     while i < n:
         c = sql[i]
         if c == "'":
@@ -112,15 +113,21 @@ def _has_toplevel_order_by(sql: str) -> bool:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and low.startswith("order", i) and \
-                (i == 0 or not low[i - 1].isalnum()):
-            j = i + 5
-            while j < n and low[j].isspace():
-                j += 1
-            if low.startswith("by", j):
-                return True
+        elif depth == 0 and (i == 0 or not low[i - 1].isalnum()):
+            if low.startswith("order", i):
+                j = i + 5
+                while j < n and low[j].isspace():
+                    j += 1
+                if low.startswith("by", j):
+                    has_order = True
+            # a depth-0 set operation interleaves its operands in engine-
+            # specific order, so no single ORDER BY governs the output
+            for kw in ("union", "intersect", "except"):
+                if low.startswith(kw, i) and \
+                        not (i + len(kw) < n and low[i + len(kw)].isalnum()):
+                    return False
         i += 1
-    return False
+    return has_order
 
 
 def _sort_table_bodies(text: str) -> str:
@@ -203,9 +210,13 @@ def run_case(db: Database, case: GoldenCase, mode: str = "execute") -> str:
         except Exception as e:   # engine errors abort the case, not the file
             out.append(f"ERROR: {e}")
             break
+        from quickstep_tpu.parser import ast_nodes as A
         if res.column_names:      # SELECT (or command with tabular output)
             out.append(res.to_table())
-        elif res.message is not None and getattr(stmt, "command", None):
+        elif res.message is not None and (
+                getattr(stmt, "command", None) or
+                (isinstance(stmt, A.CopyStmt) and
+                 stmt.path in ("stdout", "stderr"))):
             out.append(res.message)
     return "\n".join(out)
 

@@ -30,7 +30,7 @@ def load_test_relation(db) -> None:
         CatalogAttribute("double_col", DOUBLE.with_nullable(True)),
         CatalogAttribute("char_col", Char(20)),
     ]
-    rel = CatalogRelation("test", attrs)
+    rel = CatalogRelation("Test", attrs)
     rows = []
     for x in range(25):
         sign = 1 if x % 2 == 0 else -1

@@ -57,6 +57,21 @@ def test_oa_join_composite():
     assert not np.asarray(matched)[32:].any()
 
 
+def test_oa_build_no_eviction_under_load():
+    """Regression: collision-retry insertion must never scatter into an
+    occupied slot (round-2 losers used to evict settled winners, silently
+    losing build rows). High load factor + adversarial keys force multi-round
+    collision chains; every build key must remain probe-able."""
+    for n, tsize in [(100, 128), (120, 128), (64, 128), (100, 256)]:
+        keys = jnp.asarray(np.arange(n, dtype=np.int64) * 7919 + 13)
+        table, dup = J.oa_build([keys], jnp.ones(n, bool), tsize)
+        assert not bool(dup)
+        bidx, matched = J.oa_probe(table, [keys], [keys], jnp.ones(n, bool))
+        assert bool(np.asarray(matched).all()), \
+            f"lost {int((~np.asarray(matched)).sum())} of {n} keys at tsize {tsize}"
+        assert list(np.asarray(bidx)) == list(range(n))
+
+
 def test_expand_join():
     bkey = jnp.asarray([3, 1, 3, 3, 2, 9])
     skey, order = J.sorted_build(bkey, jnp.ones(6, bool))

@@ -76,9 +76,15 @@ def test_dml():
 
 
 def test_set_ops():
+    # reference grammar: each set-op operand carries its own ORDER BY/LIMIT
+    # (a trailing ORDER BY binds to the LAST operand, not the whole union)
     s = parse_one("SELECT a FROM t UNION ALL SELECT b FROM u ORDER BY a LIMIT 3")
     assert s.set_ops[0][0] == "union_all"
-    assert s.limit == 3
+    assert s.set_ops[0][1].limit == 3
+    assert s.limit is None
+    # a parenthesized last operand leaves the trailing clause to the whole op
+    s2 = parse_one("SELECT a FROM t UNION ALL (SELECT b FROM u) ORDER BY a LIMIT 3")
+    assert s2.set_limit == 3 and len(s2.set_order_by) == 1
 
 
 def test_window_over():
