@@ -66,10 +66,11 @@ class QueryServer:
 
     def __init__(self, db, host: str = "127.0.0.1", port: int = 3000,
                  max_concurrent_queries: int = 8):
-        from quickstep_tpu.exec.scheduler import PolicyEnforcer
         self.db = db
-        self.enforcer = PolicyEnforcer(
-            db.execute, max_concurrent_queries=max_concurrent_queries)
+        # the Database's own PolicyEnforcer serves all paths (embedded, REPL,
+        # network) — one admission domain, as the reference's single Foreman
+        db.config.max_concurrent_queries = max_concurrent_queries
+        self.enforcer = db.policy_enforcer
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -91,8 +92,7 @@ class QueryServer:
         priority = int(req.get("priority", 0))
         t0 = time.perf_counter()
         try:
-            res = self.enforcer.submit(sql, session=session,
-                                       priority=priority)
+            res = self.db.execute(sql, session=session, priority=priority)
             out = {
                 "stdout": res.to_table() if res and res.column_names else
                 (res.message or f"{res.rows_affected} rows affected."

@@ -30,6 +30,7 @@ class Config:
     join_hashtable_type: str = "auto"        # auto | direct | linear_open_addressing | sort_merge
     max_sample_dop: int = 16
     profile_and_report_workorder_perf: bool = False   # per-operator timing report
+    max_concurrent_queries: int = 8     # PolicyEnforcer admission limit
     # --- distributed execution (GSPMD over the device mesh) ---
     distributed: bool = False           # shard base tables over jax.devices()
     replicate_threshold_rows: int = 65536   # tables smaller than this replicate

@@ -32,13 +32,37 @@ class Database:
             self._executor = Executor(self.catalog, self.config)
         return self._executor
 
+    @property
+    def policy_enforcer(self):
+        """Admission/fair-dispatch layer. EVERY query — embedded, REPL, or
+        network — routes through it, matching the reference where the Foreman/
+        PolicyEnforcer sees every AdmitRequestMessage
+        (query_execution/PolicyEnforcerSingleNode.cpp:42-56)."""
+        if getattr(self, "_enforcer", None) is None:
+            from quickstep_tpu.exec.scheduler import PolicyEnforcer
+            self._enforcer = PolicyEnforcer(
+                self._execute_one,
+                max_concurrent_queries=self.config.max_concurrent_queries)
+        return self._enforcer
+
+    def _execute_one(self, stmt):
+        return self.executor.execute_statement(stmt)
+
     # ---- public API ----
-    def execute(self, sql: str):
-        """Execute one or more SQL statements; returns the last statement's result."""
+    def execute(self, sql: str, session: str = "default",
+                priority: Optional[int] = None):
+        """Execute one or more SQL statements; returns the last statement's
+        result. Statements are admitted through the PolicyEnforcer (concurrent
+        callers get fair, priority-aware dispatch; a WITH PRIORITY clause on a
+        SELECT overrides the call-level priority)."""
         from quickstep_tpu.parser import parse_statements
         result = None
         for stmt in parse_statements(sql):
-            result = self.executor.execute_statement(stmt)
+            prio = getattr(stmt, "priority", None)
+            if prio is None:
+                prio = priority if priority is not None else 0
+            result = self.policy_enforcer.submit(stmt, session=session,
+                                                 priority=prio)
         return result
 
     def query(self, sql: str) -> List[tuple]:

@@ -47,6 +47,7 @@ class Executor:
         self._compile_cache: Dict[tuple, object] = {}
         self._learned_overrides: Dict[tuple, Dict[int, JoinOverride]] = {}
         self.last_profile: Optional[dict] = None
+        self.last_stream_info: Optional[dict] = None
         self.last_attempts = 0
         self.mesh = None
         from quickstep_tpu.storage.eviction import make_policy
@@ -136,6 +137,16 @@ class Executor:
 
     def run_plan(self, plan: L.LogicalNode):
         """Execute a logical plan; returns (rows, names, types)."""
+        # Out-of-core: when the dominant table exceeds the HBM budget, stream
+        # it segment-by-segment through the plan's aggregate prefix
+        # (StorageManager buffer-pool analog; see exec/streaming.py).
+        from quickstep_tpu.exec.streaming import plan_streaming
+        sp = plan_streaming(plan, self.db, self.config, self.mesh)
+        if sp is not None:
+            return self._run_streamed(sp)
+        return self._run_plan_resident(plan)
+
+    def _run_plan_resident(self, plan: L.LogicalNode):
         # Peel a root-level presentation Sort off the device plan: the result is
         # materialized to the host anyway, and encoded column values (dict codes,
         # packed dates) are order-preserving, so a stable numpy lexsort on the
@@ -185,6 +196,157 @@ class Executor:
             return self._materialize(outs, out_attrs)
         return self._materialize_sorted(outs, out_attrs, host_sort,
                                         final_attrs, trim_ids)
+
+    # ----------------------------------------------------------------
+    # out-of-core segment streaming (see exec/streaming.py)
+    # ----------------------------------------------------------------
+    def _run_streamed(self, sp):
+        from quickstep_tpu.exec import streaming as S
+        rel = self.db.get_relation(sp.big_table)
+        n = rel.data.num_rows
+        segcap = K.round_up(sp.seg_rows, 8)
+        needed = S._needed_columns(sp.partial_plan)
+        big_cols = sorted(needed[sp.big_table])
+
+        # resident (build-side) tables: normal cached path
+        res_inputs, res_meta = {}, {}
+        for name, cols in needed.items():
+            if name == sp.big_table:
+                continue
+            r = self.db.get_relation(name)
+            c, m = self._device_table(r, cols)
+            sub = {x: c[x] for x in cols}
+            sub["__num_rows__"] = c["__num_rows__"]
+            res_inputs[name], res_meta[name] = sub, m
+
+        seg_meta = self._segment_meta(rel, big_cols, segcap)
+        overrides: Dict[int, JoinOverride] = {}
+        partial_np: List[List[np.ndarray]] = []   # per attr: list of segments
+        partial_valid: List[List[Optional[np.ndarray]]] = []
+        nattrs = len(sp.partial_attrs)
+        partial_np = [[] for _ in range(nattrs)]
+        partial_valid = [[] for _ in range(nattrs)]
+        bytes_streamed = 0
+        segments_run = 0
+        for seg in range(sp.n_segments):
+            if not S.segment_survives(sp.scan_filters, sp.scan_attr_cols, rel,
+                                      seg, sp.seg_rows, sp.n_segments):
+                continue   # SMA skip: bytes never leave the host
+            segments_run += 1
+            seg_inputs, seg_bytes = self._segment_inputs(
+                rel, big_cols, seg, sp.seg_rows, segcap)
+            bytes_streamed += seg_bytes
+            inputs = dict(res_inputs)
+            inputs[sp.big_table] = seg_inputs
+            meta = dict(res_meta)
+            meta[sp.big_table] = seg_meta
+            for _attempt in range(8):
+                outs, flags, out_attrs = self._compile_and_run(
+                    sp.partial_plan, inputs, meta, overrides)
+                if not self._check_flags(sp.partial_plan, flags, overrides):
+                    break
+            else:
+                raise ExecutionError("streamed join fallback did not converge")
+            datas, valids, pn = self._pull_outputs(outs)
+            for i in range(nattrs):
+                partial_np[i].append(np.asarray(datas[i])[:pn])
+                v = valids[i]
+                partial_valid[i].append(
+                    None if v is None else np.asarray(v)[:pn])
+
+        # materialize the concatenated partials as a temp relation and run
+        # the merge plan through the normal (resident) path
+        cols = {}
+        for a, segs, vsegs in zip(sp.partial_attrs, partial_np, partial_valid):
+            if segs:
+                data = np.concatenate(segs)
+                if any(v is not None for v in vsegs):
+                    valid = np.concatenate([
+                        v if v is not None else np.ones(len(d), bool)
+                        for d, v in zip(segs, vsegs)])
+                else:
+                    valid = None
+            else:
+                data = np.zeros((0,), a.type.device_dtype)
+                valid = None
+            cols[a.name] = Column(a.type, data, valid, a.dictionary)
+        tmp = CatalogRelation(S.PARTIALS_REL, [
+            CatalogAttribute(a.name, a.type) for a in sp.partial_attrs])
+        tmp.set_data(TableData(cols))
+        if self.db.get_relation(S.PARTIALS_REL) is not None:
+            self.db.drop_relation(S.PARTIALS_REL)
+        self.db.add_relation(tmp)
+        try:
+            result = self._run_plan_resident(sp.merge_plan)
+        finally:
+            self.db.drop_relation(S.PARTIALS_REL)
+            for k in [k for k in self._device_cache
+                      if k[0] == S.PARTIALS_REL]:
+                del self._device_cache[k]
+        # roofline accounting: bytes actually streamed + resident tables
+        self.last_scan_bytes = bytes_streamed + sum(
+            S._table_bytes(self.db.get_relation(nm), cs)
+            for nm, cs in needed.items() if nm != sp.big_table)
+        self.last_stream_info = {"segments": sp.n_segments,
+                                 "segments_run": segments_run,
+                                 "seg_rows": sp.seg_rows,
+                                 "bytes_streamed": bytes_streamed}
+        return result
+
+    def _segment_meta(self, rel, colnames, segcap):
+        """Per-segment meta must be IDENTICAL across segments so one compiled
+        program serves the whole stream: global ranges/uniqueness (sound for
+        any subset of rows), capacity = the segment bucket."""
+        st = rel.statistics
+        ranges = {}
+        unique_cols = set()
+        for cname in colnames:
+            col = rel.data.columns[cname]
+            arr = np.asarray(col.data)
+            attr = rel.attribute_by_name(cname)
+            if np.issubdtype(arr.dtype, np.integer):
+                if st.exact and cname in st.min_values and \
+                        not col.type.is_string:
+                    ranges[cname] = (int(st.min_values[cname]),
+                                     int(st.max_values[cname]))
+                elif col.type.is_string and col.dictionary is not None:
+                    ranges[cname] = (0, max(len(col.dictionary) - 1, 0))
+                elif arr.size:
+                    lv = arr if col.valid is None else arr[np.asarray(col.valid)]
+                    if lv.size:
+                        ranges[cname] = (int(lv.min()), int(lv.max()))
+            if attr.unique or (st.exact and st.num_tuples and
+                               st.num_distinct.get(cname) == st.num_tuples):
+                unique_cols.add(cname)
+        return {"capacity": segcap, "ranges": ranges,
+                "unique_cols": unique_cols, "version": rel.version,
+                "bytes": 0,
+                "unique_pairs": [tuple(p) for p in st.unique_pairs]
+                if st.exact else [],
+                "max_counts": dict(st.max_counts) if st.exact else {}}
+
+    def _segment_inputs(self, rel, colnames, seg, seg_rows, segcap):
+        """Host->device transfer of one row segment (the out-of-core block
+        fault: this transfer IS the streaming; segments are never cached)."""
+        start = seg * seg_rows
+        end = min(start + seg_rows, rel.data.num_rows)
+        m = end - start
+        host = {}
+        nbytes = 0
+        for c in colnames:
+            col = rel.data.columns[c]
+            arr = np.asarray(col.data)[start:end]
+            nbytes += arr.nbytes
+            data = np.pad(arr, (0, segcap - m))
+            valid = None
+            if col.valid is not None:
+                valid = np.pad(np.asarray(col.valid)[start:end],
+                               (0, segcap - m))
+                nbytes += valid.nbytes
+            host[c] = (data, valid)
+        dev = jax.device_put(host)
+        dev["__num_rows__"] = jnp.asarray(m, jnp.int32)
+        return dev, nbytes
 
     def _result_prefix(self, plan, capacity: int) -> int:
         """Static prefix of compacted output rows returned by the jitted program

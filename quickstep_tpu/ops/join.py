@@ -118,7 +118,10 @@ def oa_build(key_cols: List[jnp.ndarray], alive: jnp.ndarray,
         slots = jnp.where(still, (slots + 1) & (table_size - 1), slots)
         return cand, still, slots, dup
 
-    init = (table0, alive, h, jnp.zeros((), bool))
+    # run round 1 outside the loop: under shard_map the carry must enter the
+    # while_loop already varying over the mesh axis (the raw zero-init table
+    # is axis-invariant and trips the carry-type check)
+    init = body((table0, alive, h, jnp.zeros((), bool)))
     table, _, _, dup = jax.lax.while_loop(cond, body, init)
     return table, dup
 
@@ -157,7 +160,10 @@ def oa_probe(table: jnp.ndarray, build_key_cols: List[jnp.ndarray],
         return active, slots, result, steps + 1
 
     n = probe_key_cols[0].shape[0]
-    init = (alive, h, jnp.full((n,), -1, jnp.int32), jnp.zeros((), jnp.int32))
+    # round 1 outside the loop: carry must enter while_loop varying over the
+    # mesh axis under shard_map (see oa_build)
+    init = body((alive, h, jnp.full((n,), -1, jnp.int32),
+                 jnp.zeros((), jnp.int32)))
     _, _, result, _ = jax.lax.while_loop(cond, body, init)
     return result, result >= 0
 

@@ -159,7 +159,8 @@ def window_aggregate(
                 seg_ids, sv, seg_ids, sv + end, "right") - 1).astype(jnp.int32)
         hi = jnp.maximum(hi, lo - 1)   # empty window
         res_sorted, nn_sorted = _eval_frame(
-            fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi)
+            fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi,
+            is_start=(idx.astype(jnp.int32) == seg_first))
     else:
         raise NotImplementedError(f"window frame {frame}")
 
@@ -225,7 +226,50 @@ def _prefix_to_peers(fn, contrib_sum, contrib_cnt, s_vals, live, seg_start,
     return res, cnt
 
 
-def _eval_frame(fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi):
+def _sliding_float_sums(contrib, lo, hi, is_start):
+    """Per-row frame sums with the reference's exact rounding: a running sum
+    slides over the partition, applying fl(sub) for each row leaving the
+    window and fl(add) for each row entering (in index order). Sequential by
+    construction (lax.scan with bounded inner loops); only used for
+    float-typed bounded frames, which are always presentation-sized."""
+    n = contrib.shape[0]
+    end = hi + 1                       # exclusive
+    prev_lo = jnp.concatenate([lo[:1], lo[:-1]])
+    prev_end = jnp.concatenate([lo[:1], end[:-1]])
+    if is_start is None:
+        is_start = jnp.zeros((n,), bool).at[0].set(True)
+    max_sub = jnp.max(jnp.maximum(lo - prev_lo, 0))
+    max_add = jnp.max(jnp.maximum(end - jnp.minimum(prev_end, end), 0))
+
+    def step(ssum, xs):
+        lo_i, end_i, plo, pend, start = xs
+        ssum = jnp.where(start, jnp.zeros((), contrib.dtype), ssum)
+        plo = jnp.where(start, lo_i, plo)
+        pend = jnp.where(start, lo_i, pend)
+
+        def sub_body(k, s):
+            j = plo + k
+            v = contrib[jnp.clip(j, 0, n - 1)]
+            return jnp.where(j < lo_i, s - v, s)
+
+        ssum = jax.lax.fori_loop(0, max_sub, sub_body, ssum)
+
+        def add_body(k, s):
+            j = pend + k
+            v = contrib[jnp.clip(j, 0, n - 1)]
+            return jnp.where((j >= lo_i) & (j < end_i), s + v, s)
+
+        ssum = jax.lax.fori_loop(0, max_add, add_body, ssum)
+        return ssum, ssum
+
+    _, sums = jax.lax.scan(
+        step, jnp.zeros((), contrib.dtype),
+        (lo, end, prev_lo, prev_end, is_start))
+    return sums
+
+
+def _eval_frame(fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi,
+                is_start=None):
     """Aggregate over per-row inclusive index windows [lo, hi] (already clipped
     to segment bounds): prefix-sum differences for SUM/COUNT/AVG, sparse-table
     range queries for MIN/MAX."""
@@ -249,20 +293,12 @@ def _eval_frame(fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi):
         return jnp.where(hi < lo, jnp.zeros((), c.dtype), total - below)
 
     if jnp.issubdtype(contrib_sum.dtype, jnp.floating):
-        # Exact left-to-right accumulation per frame: prefix-sum differences
-        # round differently from the reference's sequential frame fold
-        # (WindowAggregationHandleAvg accumulates row-by-row), which shows up
-        # in the last float ulps of the golden corpus. O(n * max_width) scan.
-        n = contrib_sum.shape[0]
-        width = jnp.max(jnp.where(hi >= lo, hi - lo + 1, 0))
-
-        def body(k, acc):
-            j = lo + k
-            take = (j <= hi) & (j < n)
-            v = contrib_sum[jnp.clip(j, 0, n - 1)]
-            return acc + jnp.where(take, v, jnp.zeros((), contrib_sum.dtype))
-        s = jax.lax.fori_loop(
-            0, width, body, jnp.zeros_like(contrib_sum))
+        # Bit-exact emulation of the reference's SLIDING window
+        # (WindowAggregationHandleAvg.cpp:119-161: one running sum per
+        # partition, values subtracted as they leave the window and added as
+        # they enter) — prefix-sum differences round differently in the last
+        # float ulps, which the byte-exact golden corpus catches.
+        s = _sliding_float_sums(contrib_sum, lo, hi, is_start)
     else:
         psum = jnp.cumsum(contrib_sum)
         s = rangesum(psum, contrib_sum)

@@ -1,11 +1,14 @@
 """Worker process for the multi-host test (spawned by test_multihost.py).
 
-Usage: python multihost_worker.py <proc_id> <n_procs> <port> <out_json>
+Usage: python multihost_worker.py <proc_id> <n_procs> <port> <out_json> [tpch_sf]
 
 Each process: bootstrap jax.distributed (CPU backend, 2 local devices), build an
-identical small database (the CatalogDatabaseCache analog — same catalog on
-every node), run a battery of queries through the full engine in distributed
-mode, and (process 0 only) dump the rows to out_json.
+identical database (the CatalogDatabaseCache analog — same catalog on every
+node), run the battery through the full engine in distributed mode, and
+(process 0 only) dump the rows to out_json.
+
+With a `tpch_sf` argument the battery is the FULL 22-query TPC-H suite over a
+deterministic generated dataset; without it, a small star-schema smoke set.
 
 This is the reference's "N full Executor stacks" distributed test pattern
 (query_optimizer/tests/DistributedExecutionGeneratorTestRunner.cpp:72,
@@ -20,6 +23,7 @@ import sys
 def main():
     proc_id, n_procs, port, out_json = (int(sys.argv[1]), int(sys.argv[2]),
                                         sys.argv[3], sys.argv[4])
+    tpch_sf = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                " --xla_force_host_platform_device_count=2")
     import jax
@@ -31,11 +35,19 @@ def main():
 
     from quickstep_tpu.config import Config
 
-    db = build_db(Config(distributed=True, replicate_threshold_rows=64,
-                         display_timing=False))
+    if tpch_sf > 0:
+        from quickstep_tpu.bench.tpch import TPCH_QUERIES
+        db = build_tpch_db(
+            Config(distributed=True, replicate_threshold_rows=1000,
+                   display_timing=False), tpch_sf)
+        queries = {str(q): TPCH_QUERIES[q] for q in sorted(TPCH_QUERIES)}
+    else:
+        db = build_db(Config(distributed=True, replicate_threshold_rows=64,
+                             display_timing=False))
+        queries = QUERIES
 
     results = {}
-    for name, sql in QUERIES.items():
+    for name, sql in queries.items():
         res = db.execute(sql)
         results[name] = [list(r) for r in res.rows]
 
@@ -74,6 +86,16 @@ def build_db(config):
         rows.append(f"({1 + x % 32}, {x % 5}, {x % 1000})")
     db.execute("INSERT INTO fact VALUES " + ", ".join(rows))
     db.execute("\\analyze")
+    return db
+
+
+def build_tpch_db(config, sf):
+    """Deterministic TPC-H at scale `sf` (every process generates the same
+    data: load_tpch is seeded)."""
+    from quickstep_tpu import Database
+    from quickstep_tpu.bench.tpch import load_tpch
+    db = Database(config=config)
+    load_tpch(db, scale=sf, seed=0)
     return db
 
 

@@ -26,7 +26,7 @@ def pair():
     return single, dist
 
 
-@pytest.mark.parametrize("qnum", [1, 3, 4, 5, 6, 10, 12, 14, 18, 19])
+@pytest.mark.parametrize("qnum", list(range(1, 23)))
 def test_distributed_matches_single(pair, qnum):
     single, dist = pair
     a = single.execute(TPCH_QUERIES[qnum]).rows

@@ -57,3 +57,58 @@ def test_multihost_matches_single_process(tmp_path, n_procs):
         expected = [list(r) for r in db.execute(sql).rows]
         assert mh[name] == expected, (
             f"{name}: multihost {mh[name]} != single {expected}")
+
+
+def _float_rows_eq(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                if abs(x - y) > 1e-6 * max(1.0, abs(x)):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+def test_multihost_tpch_full_suite(tmp_path):
+    """VERDICT r1 #7: the multihost (2-process, real jax.distributed) path
+    runs the FULL 22-query TPC-H suite and matches a single-process run
+    row-for-row (the reference's 3-Executor-instances pattern at TPC-H scope,
+    DistributedExecutionGeneratorTestRunner.cpp:72)."""
+    n_procs, sf = 2, 0.003
+    out_json = str(tmp_path / "mh_tpch.json")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(n_procs), str(port), out_json,
+         str(sf)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(n_procs)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    with open(out_json) as f:
+        mh = json.load(f)
+
+    from multihost_worker import build_tpch_db
+    from quickstep_tpu.config import Config
+    from quickstep_tpu.bench.tpch import TPCH_QUERIES
+    db = build_tpch_db(Config(display_timing=False), sf)
+    bad = []
+    for q in sorted(TPCH_QUERIES):
+        expected = [list(r) for r in db.execute(TPCH_QUERIES[q]).rows]
+        if not _float_rows_eq(mh[str(q)], expected):
+            bad.append(q)
+    assert not bad, f"multihost mismatch on queries {bad}"
