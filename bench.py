@@ -26,6 +26,40 @@ import time
 HBM_PEAK_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
 
 
+def _profile_op_classes(db, sql):
+    """Warm per-operator-class ms for one query: {scan|join|agg|sort|other}.
+    Eager stepping attributes wall-clock to each plan node
+    (utils/visualize.profile_plan — the per-WorkOrder timing analog)."""
+    from quickstep_tpu.parser import parse_one
+    from quickstep_tpu.optimizer.resolver import Resolver
+    from quickstep_tpu.optimizer.rules import optimize_plan
+    from quickstep_tpu.optimizer import logical as L
+    from quickstep_tpu.utils.visualize import profile_plan
+    dbase = db.catalog.default_database
+    plan = optimize_plan(Resolver(dbase).resolve_select(parse_one(sql)),
+                         db.config, dbase)
+    times = profile_plan(db.executor, plan)
+    classes = {}
+
+    def cls(n):
+        if isinstance(n, (L.TableScan, L.Filter)):
+            return "scan"
+        if isinstance(n, L.Join):
+            return "join"
+        if isinstance(n, (L.Aggregate, L.Distinct)):
+            return "agg"
+        if isinstance(n, L.Sort):
+            return "sort"
+        return "other"
+
+    def walk(n):
+        classes[cls(n)] = classes.get(cls(n), 0.0) + times.get(id(n), 0.0)
+        for c in n.children():
+            walk(c)
+    walk(plan)
+    return {k: round(v * 1000, 1) for k, v in sorted(classes.items())}
+
+
 def main():
     sf = float(os.environ.get("BENCH_SF", "1.0"))
     qspec = os.environ.get("BENCH_QUERIES", "all")
@@ -73,6 +107,10 @@ def main():
                      "scan_mb": round(qbytes / 1e6, 1),
                      "gbps": round(gbps, 2),
                      "roofline_pct": round(100.0 * gbps / HBM_PEAK_GBPS, 2)}
+        if os.environ.get("BENCH_PROFILE"):
+            # per-operator-class attribution (eager node-by-node stepping,
+            # the WorkOrder-timing analog): scan / join / agg / sort ms
+            detail[q]["ops"] = _profile_op_classes(db, sql)
         total_time += dev
         total_wall += med
         total_bytes += qbytes

@@ -249,8 +249,32 @@ def optimize_plan(plan: L.LogicalNode, config: Config, db) -> L.LogicalNode:
     env = collect_attr_stats(plan, db)
     if config.reorder_hash_joins:
         plan = _reorder_joins(plan, db, env)
+    plan = _order_conjuncts(plan, env)
     plan = _prune_columns(plan)
     return plan
+
+
+def _order_conjuncts(node: L.LogicalNode, env) -> L.LogicalNode:
+    """Order AND conjuncts most-selective-first by the cost model — the
+    plan-time analog of the reference's LIPFilterAdaptiveProber, which
+    reorders filter probes by observed selectivity
+    (utility/lip_filter/LIPFilterAdaptiveProber.hpp:51). Evaluation is fused
+    under XLA, but the order drives short-circuit-style mask combination in
+    eager/profiled runs and keeps SMA-prunable conjuncts first for the
+    streamed path."""
+    for f in dataclasses.fields(node) if dataclasses.is_dataclass(node) else []:
+        v = getattr(node, f.name)
+        if isinstance(v, L.LogicalNode):
+            setattr(node, f.name, _order_conjuncts(v, env))
+        elif isinstance(v, list) and v and isinstance(v[0], L.LogicalNode):
+            setattr(node, f.name, [_order_conjuncts(x, env) for x in v])
+    if isinstance(node, L.Filter) and isinstance(node.predicate, Logical) \
+            and node.predicate.op == "AND":
+        ops = sorted(node.predicate.operands,
+                     key=lambda o: estimate_selectivity(o, env))
+        node = dataclasses.replace(
+            node, predicate=dataclasses.replace(node.predicate, operands=ops))
+    return node
 
 
 # ---- join reordering ----

@@ -52,3 +52,40 @@ def test_learning_reset_on_data_change():
     db.execute("INSERT INTO build VALUES (4, 1), (4, 2)")
     r = db.execute(sql)
     assert r.rows == [(1, 10), (2, 10), (3, 200), (4, 20)]
+
+
+def test_conjunct_ordering_by_selectivity():
+    """Plan-time conjunct ordering (LIPFilterAdaptiveProber.hpp:51 analog):
+    AND conjuncts sort most-selective-first by the cost model."""
+    import jax; jax.config.update("jax_platforms", "cpu")
+    from quickstep_tpu import Database
+    from quickstep_tpu.parser import parse_one
+    from quickstep_tpu.optimizer.resolver import Resolver
+    from quickstep_tpu.optimizer.rules import optimize_plan
+    from quickstep_tpu.optimizer import logical as L
+    from quickstep_tpu.expressions.scalar import Cmp, Logical
+
+    db = Database()
+    db.execute("CREATE TABLE t (a INT NOT NULL, b INT NOT NULL)")
+    db.execute("INSERT INTO t VALUES " + ", ".join(
+        f"({i % 1000}, {i % 3})" for i in range(2000)))
+    db.execute("\\analyze")
+    # a = 5 (sel ~1/1000) is more selective than b <> 2 (sel ~0.9)
+    ast = parse_one("SELECT a FROM t WHERE b <> 2 AND a = 5")
+    plan = optimize_plan(Resolver(db.catalog.default_database)
+                         .resolve_select(ast),
+                         db.config, db.catalog.default_database)
+
+    filt = None
+
+    def walk(n):
+        nonlocal filt
+        if isinstance(n, L.Filter):
+            filt = n
+        for c in n.children():
+            walk(c)
+    walk(plan)
+    assert filt is not None and isinstance(filt.predicate, Logical)
+    first = filt.predicate.operands[0]
+    assert isinstance(first, Cmp) and first.op == "="
+    assert db.execute("SELECT a FROM t WHERE b <> 2 AND a = 5").num_rows == 1
