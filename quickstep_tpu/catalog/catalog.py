@@ -235,9 +235,14 @@ class Catalog:
                 rdir = os.path.join(storage_path, dbname, relname)
                 cols = {}
                 for a in attrs:
-                    data = np.load(os.path.join(rdir, f"{a.name}.npy"))
+                    # memory-map: the OS pages columns in on first touch, so
+                    # opening an SF10 store is instant (lazy block faulting,
+                    # the StorageManager-restart analog)
+                    data = np.load(os.path.join(rdir, f"{a.name}.npy"),
+                                   mmap_mode="r")
                     vpath = os.path.join(rdir, f"{a.name}.valid.npy")
-                    valid = np.load(vpath) if os.path.exists(vpath) else None
+                    valid = np.load(vpath, mmap_mode="r") \
+                        if os.path.exists(vpath) else None
                     dpath = os.path.join(rdir, f"{a.name}.dict.json")
                     dictionary = None
                     if os.path.exists(dpath):

@@ -31,6 +31,7 @@ class Config:
     max_sample_dop: int = 16
     profile_and_report_workorder_perf: bool = False   # per-operator timing report
     max_concurrent_queries: int = 8     # PolicyEnforcer admission limit
+    profile_device_reps: int = 0        # >1: measure pipelined device-only ms
     # --- distributed execution (GSPMD over the device mesh) ---
     distributed: bool = False           # shard base tables over jax.devices()
     replicate_threshold_rows: int = 65536   # tables smaller than this replicate

@@ -415,6 +415,18 @@ class Executor:
         datas, valids, sliced, count, flags = cached(inputs)
         jax.block_until_ready(count)
         t1 = time.perf_counter()
+        dev_ms = None
+        reps = int(getattr(self.config, "profile_device_reps", 0))
+        if reps > 1:
+            # pipelined re-issues amortize the dispatch/tunnel RTT: device
+            # time ~ (T_k - T_1) / (k - 1)
+            last = count
+            tp0 = time.perf_counter()
+            for _ in range(reps):
+                *_rest, last, _fl = cached(inputs)
+            jax.block_until_ready(last)
+            tp1 = time.perf_counter()
+            dev_ms = (tp1 - tp0) / reps * 1000
         # ONE batched D2H round-trip for count + runtime flags + result prefix
         n, host_flags, host_sliced = jax.device_get((count, flags, sliced))
         self.last_flags = host_flags   # introspection (tests / \explain_analyze)
@@ -424,6 +436,8 @@ class Executor:
         self.last_profile = {"exec_ms": (t1 - t0) * 1000,
                              "pull_ms": (t2 - t1) * 1000,
                              "scan_bytes": getattr(self, "last_scan_bytes", 0)}
+        if dev_ms is not None:
+            self.last_profile["device_ms"] = dev_ms
         outs = (datas, valids, int(n), host_sliced)
         return outs, host_flags, out_attrs
 

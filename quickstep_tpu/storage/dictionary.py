@@ -22,11 +22,19 @@ import numpy as np
 class Dictionary:
     """An immutable sorted string dictionary. code i <-> self.values[i]."""
 
-    __slots__ = ("values", "_index")
+    __slots__ = ("values", "_index_cache")
 
     def __init__(self, sorted_values: List[str]):
         self.values = sorted_values
-        self._index = {v: i for i, v in enumerate(sorted_values)}
+        self._index_cache = None
+
+    @property
+    def _index(self):
+        # built lazily: multi-million-entry dictionaries (TPC-H comments) are
+        # only indexed when a query actually probes them by value
+        if self._index_cache is None:
+            self._index_cache = {v: i for i, v in enumerate(self.values)}
+        return self._index_cache
 
     # ---- construction ----
     @staticmethod
@@ -61,9 +69,12 @@ class Dictionary:
 
     # ---- predicate bitmaps (evaluated on the dictionary, applied on device) ----
     def match_like(self, pattern: str, escape: Optional[str] = None) -> np.ndarray:
-        """bool[len(dict)]: which codes match a SQL LIKE pattern."""
+        """bool[len(dict)]: which codes match a SQL LIKE pattern (evaluated
+        once per dictionary entry, not per row — the bandwidth win over the
+        reference's per-row re2 matching)."""
         rx = _like_to_regex(pattern, escape)
-        return np.asarray([rx.fullmatch(v) is not None for v in self.values], dtype=bool)
+        return np.fromiter((rx.fullmatch(v) is not None for v in self.values),
+                           dtype=bool, count=len(self.values))
 
     def match_regex(self, pattern: str) -> np.ndarray:
         rx = re.compile(pattern)
