@@ -726,7 +726,7 @@ class Executor:
         attrs = []
         for cd in stmt.columns:
             t = TypeFactory.from_name(cd.type_name, cd.type_length,
-                                      nullable=not cd.not_null)
+                                      nullable=cd.nullable and not cd.not_null)
             attrs.append(CatalogAttribute(cd.name, t, unique=cd.unique))
         rel = CatalogRelation(stmt.name, attrs)
         if stmt.partition_kind:

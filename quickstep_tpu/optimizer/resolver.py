@@ -1190,11 +1190,14 @@ class Resolver:
             correlated, {a.expr_id for a in plan.output})
         outer_keys = [operand] + outer_keys
         inner_keys = [inner_attr] + inner_keys
-        nullable = operand.type.nullable or out0.type.nullable
+        # [NOT] IN three-valued semantics are always requested; the runtime
+        # validity masks decide whether they bite (declared NOT NULL columns
+        # carry no masks, so the correction is free — and columns that were
+        # declared NOT NULL but hold NULLs anyway still behave per SQL)
         state.pending_joins.append(PendingJoin(
             kind="anti" if e.negated else "semi", plan=plan,
             outer_keys=outer_keys, inner_keys=inner_keys, residual=residual,
-            null_aware=nullable))
+            null_aware=True))
 
     def _resolve_scalar_subquery(self, e: A.ScalarSubqueryExpr, scope: Scope,
                                  state: ResolveState) -> Expr:

@@ -256,6 +256,8 @@ class ColumnDef(Node):
     type_name: str = ""
     type_length: int = 0
     not_null: bool = False
+    nullable: bool = False        # explicit NULL marker (reference grammar:
+    #                               columns default to NOT NULL)
     unique: bool = False          # parsed, recorded in catalog (not enforced, as reference)
 
 

@@ -718,7 +718,7 @@ class _Parser:
                         self.expect_kw("null")
                         cd.not_null = True
                     elif self.accept_kw("null"):
-                        pass
+                        cd.nullable = True
                     elif self.accept_kw("unique"):
                         cd.unique = True
                     elif self.accept_kw("primary"):

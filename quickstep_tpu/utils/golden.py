@@ -197,11 +197,15 @@ def run_case(db: Database, case: GoldenCase, mode: str = "execute") -> str:
                 if isinstance(stmt, A.SelectStmt):
                     from quickstep_tpu.optimizer.resolver import Resolver
                     from quickstep_tpu.optimizer.rules import optimize_plan
+                    from quickstep_tpu.utils.reference_plan import (
+                        reference_plan_string)
                     plan = optimize_plan(
                         Resolver(db.catalog.default_database)
                         .resolve_select(stmt),
                         db.config, db.catalog.default_database)
-                    out.append(plan.tree_string())
+                    ref = reference_plan_string(plan)
+                    out.append(ref if ref is not None
+                               else plan.tree_string())
                     out.append("--")
             res = db.executor.execute_statement(stmt)
         except SqlError as e:

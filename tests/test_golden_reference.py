@@ -20,16 +20,6 @@ FILES = sorted(f for f in os.listdir(HERE) if f.endswith(".test"))
 
 # Cases that cannot pass verbatim, with reasons (documented exceptions).
 SKIP_CASES = {
-    # These two cases print the reference's PHYSICAL PLAN TREE
-    # (TreeStringSerializable format: TopLevelPlan/Selection/FilterJoin with
-    # reference ExprIds) above the query result. Our physical plans are
-    # structurally different by design (whole-query XLA programs; semi-joins
-    # lower to exact-bit-vector filter probes rather than FilterJoin operator
-    # nodes), so the plan text cannot match byte-for-byte. The RESULT halves
-    # of both cases are verified to match. See utils/visualize.py for our
-    # plan printer.
-    ("LIP.test", 2): "prints reference physical-plan tree (result half matches)",
-    ("LIP.test", 3): "prints reference physical-plan tree (result half matches)",
 }
 
 
