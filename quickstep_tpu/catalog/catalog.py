@@ -71,6 +71,12 @@ class CatalogRelation:
         self.is_temporary = is_temporary
         self.version = 0   # bumped on any data mutation (device-cache invalidation)
         self.indices: List[dict] = []   # IndexScheme entries (name, attrs, type)
+        # CREATE INDEX product: per-column block min/max summaries
+        # (storage/SMAIndexSubBlock.hpp:181 analog at fixed block granularity);
+        # col -> (block_rows, mins ndarray, maxs ndarray, version). Rebuilt
+        # lazily when self.version moves past the recorded version (the
+        # reference rebuilds sub-blocks on block mutation).
+        self.sma_blocks: Dict[str, tuple] = {}
         self.data: TableData = TableData.empty(
             [(a.name, a.type) for a in attributes])
 
@@ -199,6 +205,7 @@ class Catalog:
                     "stats": _stats_to_json(rel.statistics),
                     "partition": dataclasses.asdict(rel.partition_scheme)
                     if rel.partition_scheme else None,
+                    "indices": rel.indices,
                 }
                 dbm["relations"][rel.name] = relm
                 rdir = os.path.join(storage_path, dbname, rel.name)
@@ -212,6 +219,11 @@ class Catalog:
                     if col.dictionary is not None:
                         with open(os.path.join(rdir, f"{a.name}.dict.json"), "w") as f:
                             json.dump(col.dictionary.values, f)
+                for cname, (brows, mins, maxs, ver) in rel.sma_blocks.items():
+                    if ver != rel.version:
+                        continue   # stale: rebuilt lazily after reload
+                    np.savez(os.path.join(rdir, f"{cname}.sma.npz"),
+                             block_rows=brows, mins=mins, maxs=maxs)
             meta["databases"][dbname] = dbm
         with open(os.path.join(storage_path, "catalog.json"), "w") as f:
             json.dump(meta, f)
@@ -250,11 +262,65 @@ class Catalog:
                             dictionary = Dictionary(json.load(f))
                     cols[a.name] = Column(a.type, data, valid, dictionary)
                 rel.data = TableData(cols)
+                rel.indices = relm.get("indices", [])
+                for a in attrs:
+                    spath = os.path.join(rdir, f"{a.name}.sma.npz")
+                    if os.path.exists(spath):
+                        z = np.load(spath)
+                        rel.sma_blocks[a.name] = (int(z["block_rows"]),
+                                                  z["mins"], z["maxs"], 0)
                 rel.statistics = _stats_from_json(relm.get("stats"))
                 if relm.get("partition"):
                     rel.partition_scheme = PartitionScheme(**relm["partition"])
                 db.add_relation(rel)
         return cat
+
+
+SMA_BLOCK_ROWS = 4096   # index granularity (reference block ~2MB / slab rows)
+
+
+def build_sma_blocks(rel: CatalogRelation, col: str,
+                     block_rows: int = SMA_BLOCK_ROWS):
+    """Build (or refresh) the block min/max summary for one column — the
+    CREATE INDEX ... USING SMA product (storage/SMAIndexSubBlock.hpp:181).
+    String columns are summarized over their ordered-dictionary codes, which
+    preserve ordering, so range/equality pruning stays valid. Returns the
+    (block_rows, mins, maxs, version) tuple and records it on the relation."""
+    hit = rel.sma_blocks.get(col)
+    if hit is not None and hit[3] == rel.version and hit[0] == block_rows:
+        return hit
+    arr = np.asarray(rel.data.columns[col].data)
+    n = arr.shape[0]
+    nblocks = -(-n // block_rows) if n else 0
+    if nblocks:
+        pad = nblocks * block_rows - n
+        lo = np.pad(arr, (0, pad), mode="edge").reshape(nblocks, block_rows)
+        mins = lo.min(axis=1)
+        maxs = lo.max(axis=1)
+    else:
+        mins = np.empty(0, arr.dtype)
+        maxs = np.empty(0, arr.dtype)
+    entry = (block_rows, mins, maxs, rel.version)
+    rel.sma_blocks[col] = entry
+    return entry
+
+
+def sma_range_for(rel: CatalogRelation, col: str, start: int,
+                  end: int) -> Optional[tuple]:
+    """(min, max) over rows [start, end) from the block index, or None when no
+    fresh index exists for col. O(blocks-overlapped), no column scan."""
+    hit = rel.sma_blocks.get(col)
+    if hit is None:
+        return None
+    block_rows, mins, maxs, ver = hit
+    if ver != rel.version:
+        # data moved under the index: refresh (reference rebuild-on-mutation)
+        block_rows, mins, maxs, ver = build_sma_blocks(rel, col, block_rows)
+    b0 = start // block_rows
+    b1 = -(-end // block_rows)
+    if b0 >= b1 or b1 > mins.shape[0]:
+        return None
+    return mins[b0:b1].min(), maxs[b0:b1].max()
 
 
 def _stats_to_json(st: CatalogRelationStatistics) -> dict:

@@ -7,6 +7,7 @@ CLI/REPL in cli/) construct a Database and call .query() / .execute().
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional
 
 from quickstep_tpu.config import Config, DEFAULT
@@ -15,7 +16,13 @@ from quickstep_tpu.catalog import Catalog
 
 class Database:
     def __init__(self, config: Optional[Config] = None, storage_path: Optional[str] = None):
-        self.config = config or DEFAULT
+        # Per-instance copy of the defaults: callers routinely tune
+        # db.config after construction (bench.py, tests), and a shared
+        # DEFAULT singleton would leak one instance's knobs (e.g. a tiny
+        # hbm_budget_bytes forcing streamed execution) into every other
+        # Database in the process — observed as silent wrong results.
+        self.config = config if config is not None \
+            else dataclasses.replace(DEFAULT)
         if storage_path is not None:
             self.config.storage_path = storage_path
         self.catalog = Catalog.load(self.config.storage_path) \

@@ -773,8 +773,19 @@ class Executor:
                 raise ExecutionError(
                     f"The relation {rel.name} already defines this index on "
                     f"the given attribute(s).")
+        for aname in stmt.attrs:
+            if rel.attribute_by_name(aname) is None:
+                raise ExecutionError(
+                    f"no attribute {aname} in relation {rel.name}")
         rel.indices.append({"name": stmt.index_name, "attrs": stmt.attrs,
                             "type": stmt.index_type})
+        # Build the block min/max summary eagerly (SMAIndexSubBlock analog;
+        # for CSB-tree requests the same summary provides the range-pruning
+        # benefit this engine's scan architecture can exploit). DML bumps
+        # rel.version; the summary self-refreshes on next use.
+        from quickstep_tpu.catalog.catalog import build_sma_blocks
+        for aname in stmt.attrs:
+            build_sma_blocks(rel, rel.attribute_by_name(aname).name)
         return QueryResult([], [], [],
                            message=f"Index {stmt.index_name} created.")
 

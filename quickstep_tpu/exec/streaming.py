@@ -317,12 +317,24 @@ def plan_streaming(plan, db, config, mesh=None) -> Optional[StreamPlan]:
 
 def segment_minmax(rel, col: str, seg_rows: int, n_segments: int):
     """Per-segment (min, max) for one column, cached per table version — the
-    SMAIndexSubBlock analog, built lazily on first streamed scan."""
+    SMAIndexSubBlock analog, built lazily on first streamed scan. When a
+    CREATE INDEX block summary exists (catalog.build_sma_blocks), segment
+    ranges are aggregated from it without touching the column."""
     cache = rel.__dict__.setdefault("_sma_cache", {})
     key = (col, seg_rows, rel.version)
     hit = cache.get(key)
     if hit is not None:
         return hit
+    if col in rel.sma_blocks:
+        from quickstep_tpu.catalog.catalog import sma_range_for
+        n = rel.data.num_rows
+        out = [sma_range_for(rel, col, s * seg_rows,
+                             min((s + 1) * seg_rows, n))
+               for s in range(n_segments)]
+        if all(r is not None for r in out):
+            cache.clear()
+            cache[key] = out
+            return out
     arr = np.asarray(rel.data.columns[col].data)
     out = []
     for s in range(n_segments):
