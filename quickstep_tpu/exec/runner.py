@@ -338,7 +338,9 @@ class PlanRunner:
     def _dense_aggregate(self, node, chunk, key_data, key_ranges, agg_inputs):
         offsets, sizes, strides, domain = self._dense_layout(key_ranges)
         idx = G.pack_dense_index(key_data, offsets, strides, domain, chunk.alive)
-        occupied, results = G.dense_groupby(idx, domain, agg_inputs, chunk.alive)
+        occupied, results = G.dense_groupby(
+            idx, domain, agg_inputs, chunk.alive,
+            use_pallas=getattr(self.config, "use_pallas_groupby", False))
         # reconstruct group keys by unpacking the dense index
         gidx = jnp.arange(domain, dtype=jnp.int64)
         slots = {}
