@@ -97,7 +97,13 @@ def main():
             skipped.append(q)
             continue
         sql = TPCH_QUERIES[q]
-        db.execute(sql)  # compile + warm (reference skips run 1: QuickstepCli.cpp:143)
+        try:
+            db.execute(sql)  # compile + warm (reference skips run 1: QuickstepCli.cpp:143)
+        except Exception as e:  # never lose the whole bench to one query
+            detail[q] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"# Q{q} FAILED: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
+            continue
         times = []
         dev_times = []
         for _ in range(trials):
@@ -129,14 +135,15 @@ def main():
         total_bytes += qbytes
 
     agg_gbps = total_bytes / total_time / 1e9 if total_time > 0 else 0.0
+    n_ok = sum(1 for d in detail.values() if "ms" in d)
     result = {
-        "metric": f"TPC-H SF{sf} {len(detail)}-query achieved scan bandwidth/chip",
+        "metric": f"TPC-H SF{sf} {n_ok}-query achieved scan bandwidth/chip",
         "value": round(agg_gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(agg_gbps / HBM_PEAK_GBPS, 4),
     }
     print(json.dumps(result))
-    rows_per_s = (lrows * len(detail)) / total_wall if total_wall > 0 else 0.0
+    rows_per_s = (lrows * n_ok) / total_wall if total_wall > 0 else 0.0
     if skipped:
         print(f"# SKIPPED (over BENCH_BUDGET_S={budget_s:.0f}): {skipped}",
               file=sys.stderr)
@@ -145,6 +152,8 @@ def main():
           f"({100*agg_gbps/HBM_PEAK_GBPS:.1f}% of {HBM_PEAK_GBPS:.0f}GB/s "
           f"roofline) rows/s={rows_per_s:.3g}", file=sys.stderr)
     for q, d in detail.items():
+        if "ms" not in d:
+            continue
         print(f"# Q{q}: {d['ms']}ms (dev {d['dev_ms']}ms) scan={d['scan_mb']}MB "
               f"{d['gbps']}GB/s ({d['roofline_pct']}%)", file=sys.stderr)
     with open("BENCH_DETAIL.json", "w") as f:

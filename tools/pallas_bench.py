@@ -6,9 +6,11 @@ single-pass two-float kernel (config.use_pallas_groupby). Run on the real TPU:
 Prints device-time medians (pipelined reps amortize the tunnel RTT) and the
 max relative row diff between the two paths."""
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from quickstep_tpu import Database
 from quickstep_tpu.bench.tpch import TPCH_QUERIES, load_tpch
 
@@ -30,7 +32,6 @@ def run(flag, store, reps=6):
 def main():
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     store = f"data/tpch_sf{sf}"
-    import os
     if not os.path.exists(os.path.join(store, "catalog.json")):
         db = Database()
         load_tpch(db, scale=sf, seed=0)

@@ -48,10 +48,12 @@ def main():
         for q, p in list(procs.items()):
             if p.poll() is not None:
                 out = p.stdout.read().decode(errors="replace")
-                tail = [l for l in out.strip().splitlines() if l][-1:] or [""]
-                status = "ok" if p.returncode == 0 else f"FAIL rc={p.returncode}"
-                print(f"[{time.time()-t0:6.0f}s] Q{q} {status}  {tail[0][:200]}",
-                      flush=True)
+                lines = [l for l in out.strip().splitlines() if l]
+                ok = p.returncode == 0
+                tail = lines[-1:] if ok else lines[-25:]
+                status = "ok" if ok else f"FAIL rc={p.returncode}"
+                print(f"[{time.time()-t0:6.0f}s] Q{q} {status}  "
+                      + "\n    ".join(l[:300] for l in tail), flush=True)
                 del procs[q]
     print(f"done in {time.time()-t0:.0f}s", flush=True)
 
