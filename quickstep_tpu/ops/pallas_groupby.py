@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -95,14 +96,18 @@ def _run(idx2d, mask2d, split_vals, domain, n_cols, interpret):
     kernel, rows_per_group = _make_kernel(domain, n_cols)
     sub = TILE // LANE
     grid = (idx2d.shape[0] // sub,)
-    blk = lambda: pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+    # index maps must stay int32: with jax_enable_x64 on (the SQL engine
+    # enables it globally) a literal `0` traces as i64 and the on-chip Mosaic
+    # lowering dies with "failed to legalize 'func.return' (i32, i64)".
+    zero = np.int32(0)
+    blk = lambda: pl.BlockSpec((sub, LANE), lambda i: (i, zero),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk(), blk()] + [blk() for _ in range(2 * n_cols)],
         out_specs=pl.BlockSpec(
-            (domain * rows_per_group, LANE), lambda i: (0, 0),
+            (domain * rows_per_group, LANE), lambda i: (zero, zero),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((domain * rows_per_group, LANE),
                                        jnp.float32),
