@@ -36,6 +36,8 @@ def _ddl_type(t) -> str:
     tid = t.type_id
     if tid == TypeID.INT:
         return "INT"
+    if tid == TypeID.DECIMAL:
+        return f"DECIMAL({t.precision},{t.scale})"
     if tid == TypeID.DOUBLE:
         return "DECIMAL"
     if tid == TypeID.DATE:
@@ -57,7 +59,7 @@ def load_sqlite(data: Dict) -> sqlite3.Connection:
             tid = t.type_id
             if tid == TypeID.INT:
                 cols.append(f"{cname} INTEGER")
-            elif tid == TypeID.DOUBLE:
+            elif tid in (TypeID.DOUBLE, TypeID.DECIMAL):
                 cols.append(f"{cname} REAL")
             else:
                 cols.append(f"{cname} TEXT")

@@ -19,7 +19,7 @@ from typing import Dict, List
 import numpy as np
 
 from quickstep_tpu.types import (
-    Type, TypeID, INT, DOUBLE, DATE, Char, VarChar,
+    Type, TypeID, INT, DOUBLE, DATE, Char, VarChar, Decimal,
 )
 from quickstep_tpu.types.datetime_util import date_encode
 from quickstep_tpu.storage.column import Column
@@ -123,8 +123,14 @@ def _phone(rng, nation: np.ndarray) -> np.ndarray:
     return out.astype(object)
 
 
-def _money(rng, lo: float, hi: float, n: int) -> np.ndarray:
-    return np.round(rng.uniform(lo, hi, n), 2)
+# Money columns are DECIMAL(9,2): generated directly as exact integer cents
+# (the scaled-units device encoding, types/types.py DECIMAL), so no float
+# rounding ever enters the stored data.
+MONEY = Decimal(9, 2)
+
+
+def _money_units(rng, lo_cents: int, hi_cents: int, n: int) -> np.ndarray:
+    return rng.integers(lo_cents, hi_cents + 1, n)
 
 
 def _col_str(typ, values: List[str]) -> Column:
@@ -173,7 +179,7 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "s_address": _col_str(VarChar(40), _text_column(rng, S, 2, 4)),
         "s_nationkey": _col(INT, s_nation),
         "s_phone": _col_str(Char(15), _phone(rng, s_nation)),
-        "s_acctbal": _col(DOUBLE, _money(rng, -999.99, 9999.99, S)),
+        "s_acctbal": _col(MONEY, _money_units(rng, -99999, 999999, S)),
         # Q16 probes '%Customer%Complaints%'
         "s_comment": _col_str(VarChar(101), _text_column(
             rng, S, 5, 12, inject="Customer Complaints", inject_prob=0.0005)),
@@ -197,8 +203,9 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     pcontainer = list(np.char.add(np.char.add(
         np.array(CONTAINER_S1)[rng.integers(0, 5, P)], " "),
         np.array(CONTAINER_S2)[rng.integers(0, 8, P)]))
-    # spec retail price formula (keeps price/partkey correlation)
-    p_retail = (90000 + ((pk // 10) % 20001) + 100 * (pk % 1000)) / 100.0
+    # spec retail price formula (keeps price/partkey correlation) — the spec
+    # formula is already integer cents
+    p_retail_cents = 90000 + ((pk // 10) % 20001) + 100 * (pk % 1000)
     out["part"] = TableData({
         "p_partkey": _col(INT, pk),
         "p_name": _col_str(VarChar(55), pname),
@@ -207,7 +214,7 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "p_type": _col_str(VarChar(25), ptype),
         "p_size": _col(INT, rng.integers(1, 51, P)),
         "p_container": _col_str(Char(10), pcontainer),
-        "p_retailprice": _col(DOUBLE, p_retail),
+        "p_retailprice": _col(MONEY, p_retail_cents),
         "p_comment": _col_str(VarChar(23), _text_column(rng, P, 2, 5)),
     })
 
@@ -220,7 +227,7 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "ps_partkey": _col(INT, ps_part),
         "ps_suppkey": _col(INT, ps_supp.astype(np.int64)),
         "ps_availqty": _col(INT, rng.integers(1, 10_000, PS)),
-        "ps_supplycost": _col(DOUBLE, _money(rng, 1.0, 1000.0, PS)),
+        "ps_supplycost": _col(MONEY, _money_units(rng, 100, 100000, PS)),
         "ps_comment": _col_str(VarChar(199), _text_column(rng, PS, 4, 10)),
     })
 
@@ -234,7 +241,7 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "c_address": _col_str(VarChar(40), _text_column(rng, C, 2, 4)),
         "c_nationkey": _col(INT, c_nation),
         "c_phone": _col_str(Char(15), _phone(rng, c_nation)),
-        "c_acctbal": _col(DOUBLE, _money(rng, -999.99, 9999.99, C)),
+        "c_acctbal": _col(MONEY, _money_units(rng, -99999, 999999, C)),
         "c_mktsegment": _col_str(Char(10), list(
             np.array(SEGMENTS)[rng.integers(0, 5, C)])),
         "c_comment": _col_str(VarChar(117), _text_column(
@@ -275,10 +282,10 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     l_part = rng.integers(1, P + 1, L)
     li4 = rng.integers(0, 4, L)
     l_supp = ((l_part + li4 * (S // 4 + (l_part - 1) // S)) % S) + 1
-    l_qty = rng.integers(1, 51, L).astype(np.float64)
-    l_extp = np.round(l_qty * p_retail[l_part - 1], 2)
-    l_disc = np.round(rng.integers(0, 11, L) / 100.0, 2)
-    l_tax = np.round(rng.integers(0, 9, L) / 100.0, 2)
+    l_qty = rng.integers(1, 51, L)                       # whole units
+    l_extp_c = l_qty * p_retail_cents[l_part - 1]        # exact cents
+    l_disc_u = rng.integers(0, 11, L)                    # 0.00..0.10 in cents
+    l_tax_u = rng.integers(0, 9, L)                      # 0.00..0.08 in cents
     ship_daynum = l_orderdate_daynum + rng.integers(1, 122, L)
     commit_daynum = l_orderdate_daynum + rng.integers(30, 91, L)
     receipt_daynum = ship_daynum + rng.integers(1, 31, L)
@@ -294,10 +301,10 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
         "l_partkey": _col(INT, l_part),
         "l_suppkey": _col(INT, l_supp.astype(np.int64)),
         "l_linenumber": _col(INT, l_linenumber),
-        "l_quantity": _col(DOUBLE, l_qty),
-        "l_extendedprice": _col(DOUBLE, l_extp),
-        "l_discount": _col(DOUBLE, l_disc),
-        "l_tax": _col(DOUBLE, l_tax),
+        "l_quantity": _col(MONEY, l_qty * 100),
+        "l_extendedprice": _col(MONEY, l_extp_c),
+        "l_discount": _col(MONEY, l_disc_u),
+        "l_tax": _col(MONEY, l_tax_u),
         "l_returnflag": _col_str(Char(1), list(rf_strs[rf])),
         "l_linestatus": _col_str(Char(1), list(ls)),
         "l_shipdate": _col(DATE, _dates_from_daynum(ship_daynum)),
@@ -314,14 +321,17 @@ def generate(scale: float = 0.01, seed: int = 0) -> Dict[str, TableData]:
     # o_totalprice = sum(extp*(1+tax)*(1-disc)); o_orderstatus: F if all lines F,
     # O if all lines O, else P
     order_idx = np.repeat(np.arange(O), lines_per)
-    totals = np.zeros(O)
-    np.add.at(totals, order_idx, l_extp * (1 + l_tax) * (1 - l_disc))
+    # exact integer: per-line cents*(100+tax)*(100-disc) is scale-6 units;
+    # the order total rounds the summed scale-6 value half-up to cents
+    totals6 = np.zeros(O, np.int64)
+    np.add.at(totals6, order_idx,
+              l_extp_c.astype(np.int64) * (100 + l_tax_u) * (100 - l_disc_u))
     f_cnt = np.zeros(O, np.int64)
     np.add.at(f_cnt, order_idx, (ls == "F").astype(np.int64))
     status = np.where(f_cnt == lines_per, "F",
                       np.where(f_cnt == 0, "O", "P"))
     out["orders"].columns["o_orderstatus"] = _col_str(Char(1), list(status))
-    out["orders"].columns["o_totalprice"] = _col(DOUBLE, np.round(totals, 2))
+    out["orders"].columns["o_totalprice"] = _col(MONEY, (totals6 + 5000) // 10000)
 
     return out
 
@@ -333,28 +343,28 @@ TPCH_SCHEMAS = {
                ("n_regionkey", INT), ("n_comment", VarChar(152))],
     "supplier": [("s_suppkey", INT), ("s_name", Char(25)),
                  ("s_address", VarChar(40)), ("s_nationkey", INT),
-                 ("s_phone", Char(15)), ("s_acctbal", DOUBLE),
+                 ("s_phone", Char(15)), ("s_acctbal", MONEY),
                  ("s_comment", VarChar(101))],
     "part": [("p_partkey", INT), ("p_name", VarChar(55)), ("p_mfgr", Char(25)),
              ("p_brand", Char(10)), ("p_type", VarChar(25)), ("p_size", INT),
-             ("p_container", Char(10)), ("p_retailprice", DOUBLE),
+             ("p_container", Char(10)), ("p_retailprice", MONEY),
              ("p_comment", VarChar(23))],
     "partsupp": [("ps_partkey", INT), ("ps_suppkey", INT),
-                 ("ps_availqty", INT), ("ps_supplycost", DOUBLE),
+                 ("ps_availqty", INT), ("ps_supplycost", MONEY),
                  ("ps_comment", VarChar(199))],
     "customer": [("c_custkey", INT), ("c_name", VarChar(25)),
                  ("c_address", VarChar(40)), ("c_nationkey", INT),
-                 ("c_phone", Char(15)), ("c_acctbal", DOUBLE),
+                 ("c_phone", Char(15)), ("c_acctbal", MONEY),
                  ("c_mktsegment", Char(10)), ("c_comment", VarChar(117))],
     "orders": [("o_orderkey", INT), ("o_custkey", INT),
-               ("o_orderstatus", Char(1)), ("o_totalprice", DOUBLE),
+               ("o_orderstatus", Char(1)), ("o_totalprice", MONEY),
                ("o_orderdate", DATE), ("o_orderpriority", Char(15)),
                ("o_clerk", Char(15)), ("o_shippriority", INT),
                ("o_comment", VarChar(79))],
     "lineitem": [("l_orderkey", INT), ("l_partkey", INT), ("l_suppkey", INT),
-                 ("l_linenumber", INT), ("l_quantity", DOUBLE),
-                 ("l_extendedprice", DOUBLE), ("l_discount", DOUBLE),
-                 ("l_tax", DOUBLE), ("l_returnflag", Char(1)),
+                 ("l_linenumber", INT), ("l_quantity", MONEY),
+                 ("l_extendedprice", MONEY), ("l_discount", MONEY),
+                 ("l_tax", MONEY), ("l_returnflag", Char(1)),
                  ("l_linestatus", Char(1)), ("l_shipdate", DATE),
                  ("l_commitdate", DATE), ("l_receiptdate", DATE),
                  ("l_shipinstruct", Char(25)), ("l_shipmode", Char(10)),

@@ -198,7 +198,8 @@ class Catalog:
                 relm = {
                     "attributes": [
                         {"name": a.name, "type_id": int(a.type.type_id),
-                         "nullable": a.type.nullable, "length": a.type.length}
+                         "nullable": a.type.nullable, "length": a.type.length,
+                         "precision": a.type.precision, "scale": a.type.scale}
                         for a in rel.attributes
                     ],
                     "num_rows": rel.data.num_rows,
@@ -241,7 +242,9 @@ class Catalog:
             for relname, relm in dbm["relations"].items():
                 attrs = [CatalogAttribute(a["name"],
                                           Type(TypeID(a["type_id"]), a["nullable"],
-                                               a["length"]))
+                                               a["length"],
+                                               precision=a.get("precision", 0),
+                                               scale=a.get("scale", 0)))
                          for a in relm["attributes"]]
                 rel = CatalogRelation(relname, attrs)
                 rdir = os.path.join(storage_path, dbname, relname)

@@ -726,7 +726,8 @@ class Executor:
         attrs = []
         for cd in stmt.columns:
             t = TypeFactory.from_name(cd.type_name, cd.type_length,
-                                      nullable=cd.nullable and not cd.not_null)
+                                      nullable=cd.nullable and not cd.not_null,
+                                      scale=cd.type_scale)
             attrs.append(CatalogAttribute(cd.name, t, unique=cd.unique))
         rel = CatalogRelation(stmt.name, attrs)
         if stmt.partition_kind:
@@ -833,7 +834,8 @@ class Executor:
                         if t.type_id == TypeID.DATE
                         else parse_datetime_literal(e.value))
             return int(e.value)
-        if t.is_floating:
+        if t.is_floating or t.is_decimal:
+            # decimal values encode to scaled units in Column.from_values
             return float(e.value)
         return int(e.value)
 

@@ -70,6 +70,9 @@ def _format_cell(v, t: Type) -> str:
         return "%.9g" % float(v)
     if tid == TypeID.DOUBLE:
         return "%.17g" % float(v)
+    if tid == TypeID.DECIMAL:
+        # values are exact scaled integers; print exact fixed-point
+        return "%.*f" % (t.scale, float(v))
     if t.is_string:
         # CharType prints %*.*s with precision = declared length
         return str(v)[:t.length] if t.length else str(v)

@@ -295,7 +295,8 @@ class PlanRunner:
             else:
                 d, v = self._eval(chunk, spec.arg)
                 d, v = chunk.broadcast(d, v)
-                if spec.fn in ("sum", "avg") and spec.arg.type.is_integral:
+                if spec.fn in ("sum", "avg") and (spec.arg.type.is_integral or
+                                  spec.arg.type.is_decimal):
                     d = d.astype(jnp.int64)
                 agg_inputs.append((spec.fn, d, v))
             distinct_flags.append(spec.distinct)
@@ -462,7 +463,8 @@ class PlanRunner:
                 else:
                     vals, valid = self._eval(chunk, spec.arg)
                     vals, valid = chunk.broadcast(vals, valid)
-                    if spec.fn in ("sum", "avg") and spec.arg.type.is_integral:
+                    if spec.fn in ("sum", "avg") and (spec.arg.type.is_integral or
+                                  spec.arg.type.is_decimal):
                         vals = vals.astype(jnp.int64)
                     if spec.distinct:
                         # SUM/AVG/MIN/MAX DISTINCT: dedup via sort boundaries
@@ -1439,7 +1441,8 @@ class PlanRunner:
         if spec.arg is not None:
             self._bind_subqueries(spec.arg)
             vals, valid = chunk.broadcast(*self._eval(chunk, spec.arg))
-            if spec.fn in ("sum", "avg") and spec.arg.type.is_integral:
+            if spec.fn in ("sum", "avg") and (spec.arg.type.is_integral or
+                                  spec.arg.type.is_decimal):
                 vals = vals.astype(jnp.int64)
         res, rvalid = window_aggregate(part, okeys, desc, spec.fn, vals, valid,
                                        chunk.alive, node.frame)

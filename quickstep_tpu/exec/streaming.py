@@ -25,7 +25,7 @@ import numpy as np
 
 from quickstep_tpu.expressions.aggregate import AggregateSpec
 from quickstep_tpu.expressions.scalar import (
-    Arith, Attr, Cmp, Expr, Lit, split_conjuncts,
+    Arith, Attr, Cmp, DecimalToDouble, Expr, Lit, split_conjuncts,
 )
 from quickstep_tpu.optimizer import logical as L
 from quickstep_tpu.optimizer.logical import OutAttr, next_expr_id
@@ -207,8 +207,12 @@ def _decompose(agg: L.Aggregate):
                              f"__pac{i}", LONG)
             ms = add_merge("sum", ps, sum_t)
             mc = add_merge("sum", pc, LONG)
+            num = Attr(expr_id=ms.expr_id, type=DOUBLE)
+            if sum_t.is_decimal:  # decode units before the f64 divide
+                num = DecimalToDouble(
+                    operand=Attr(expr_id=ms.expr_id, type=sum_t), type=DOUBLE)
             final_exprs.append(Arith(
-                op="/", lhs=Attr(expr_id=ms.expr_id, type=DOUBLE),
+                op="/", lhs=num,
                 rhs=Attr(expr_id=mc.expr_id, type=DOUBLE),
                 type=attr.type))
         else:

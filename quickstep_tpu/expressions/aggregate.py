@@ -47,6 +47,11 @@ class AggregateSpec:
                 return LONG.with_nullable(nullable)
             if t.type_id == TypeID.FLOAT:
                 return DOUBLE.with_nullable(nullable)  # accumulate in double
+            if t.type_id == TypeID.DECIMAL:
+                # exact int64 accumulation of units (fits through SF10+:
+                # e.g. Q1 sum_charge at scale 6 is ~1.6e18 < 2^63)
+                return Type(TypeID.DECIMAL, nullable=True, precision=18,
+                            scale=t.scale)
             return t.with_nullable(nullable)
         if fn in ("min", "max"):
             return t.with_nullable(nullable)

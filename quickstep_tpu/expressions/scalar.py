@@ -101,7 +101,7 @@ class Lit(Expr):
         if d is not None and isinstance(self.value, int) and \
                 0 <= self.value < len(d.values):
             return ("lit", d.values[self.value], int(self.type.type_id))
-        return ("lit", self.value, int(self.type.type_id))
+        return ("lit", self.value, int(self.type.type_id), self.type.scale)
 
 
 def _combine_valid(*valids):
@@ -345,7 +345,8 @@ def _broadcast_where(cond, a, va, b, vb):
 
 @dataclasses.dataclass
 class Cast(Expr):
-    """Numeric/date casts (NumericCastOperation analog)."""
+    """Numeric/date casts (NumericCastOperation analog). Decimal casts
+    rescale the integer units representation (types/types.py DECIMAL)."""
     operand: Expr = None
 
     def children(self):
@@ -353,10 +354,60 @@ class Cast(Expr):
 
     def eval(self, ctx: EvalContext) -> ValuePair:
         d, v = self.operand.eval(ctx)
+        src, dst = self.operand.type, self.type
+        if src.is_decimal or dst.is_decimal:
+            return _decimal_cast(d, src, dst), v
         return d.astype(self.type.device_dtype), v
 
     def key(self):
-        return ("cast", int(self.type.type_id), self.operand.key())
+        return ("cast", int(self.type.type_id), self.type.scale,
+                self.operand.key())
+
+
+def _decimal_cast(d, src, dst):
+    """Convert between decimal units and other numeric encodings."""
+    if src.is_decimal and dst.is_decimal:
+        if dst.scale == src.scale:
+            return d.astype(dst.device_dtype)
+        if dst.scale > src.scale:
+            return d.astype(jnp.int64) * (10 ** (dst.scale - src.scale))
+        return jax.lax.div(d.astype(jnp.int64),
+                           jnp.asarray(10 ** (src.scale - dst.scale),
+                                       jnp.int64)).astype(dst.device_dtype)
+    if src.is_decimal:
+        if dst.is_floating:
+            return (d.astype(dst.device_dtype) *
+                    jnp.asarray(10.0 ** -src.scale, dst.device_dtype))
+        # decimal -> integral truncates toward zero (C cast semantics)
+        return jax.lax.div(d.astype(jnp.int64),
+                           jnp.asarray(10 ** src.scale,
+                                       jnp.int64)).astype(dst.device_dtype)
+    # numeric -> decimal
+    if src.is_integral:
+        return (d.astype(jnp.int64) * (10 ** dst.scale)).astype(
+            dst.device_dtype)
+    return jnp.round(d.astype(jnp.float64) * (10.0 ** dst.scale)).astype(
+        dst.device_dtype)
+
+
+@dataclasses.dataclass
+class DecimalToDouble(Expr):
+    """Decode a decimal (scaled-integer) expression to its DOUBLE value:
+    units * 10^-scale. Inserted by the resolver wherever decimal semantics
+    must leave the exact integer domain (division, mixed-type arithmetic,
+    inexact literals) — everything else stays native int on device."""
+    operand: Expr = None
+
+    def children(self):
+        return [self.operand]
+
+    def eval(self, ctx: EvalContext) -> ValuePair:
+        d, v = self.operand.eval(ctx)
+        s = self.operand.type.scale
+        return d.astype(jnp.float64) * jnp.asarray(10.0 ** -s, jnp.float64), v
+
+    def key(self):
+        return ("dec2f", self.operand.type.scale, self.operand.key())
 
 
 @dataclasses.dataclass

@@ -28,7 +28,8 @@ from quickstep_tpu.types import (
 from quickstep_tpu.types.datetime_util import date_add_months, date_add_days, US_PER_DAY
 from quickstep_tpu.expressions.scalar import (
     Expr, Attr, Lit, Arith, Cmp, Logical, Not, IsNull, Case, Cast, ExtractDate,
-    InSet, DictBitmapProbe, Substr, DateArith, make_and, split_conjuncts,
+    InSet, DictBitmapProbe, Substr, DateArith, DecimalToDouble, make_and,
+    split_conjuncts,
 )
 from quickstep_tpu.expressions.aggregate import AggregateSpec
 from quickstep_tpu.optimizer import logical as L
@@ -486,6 +487,10 @@ class Resolver:
             arg = None
             if not fc.is_star and fc.args:
                 arg = self._resolve_expr(fc.args[0], scope, state)
+                if arg.type.is_decimal and fc.name in ("sum", "avg"):
+                    # window frames accumulate in f64 (reference float
+                    # sliding-sum parity); decode decimal args up front
+                    arg = _decode_decimal(arg)
             part = [self._resolve_expr(p, scope, state)
                     for p in spec.partition_by]
             okeys = [self._resolve_expr(oi.expr, scope, state)
@@ -558,13 +563,23 @@ class Resolver:
                 i = agg_index[spec_key]
                 return _attr_of(agg_attrs[i])
             if fn == "avg" and not fc.distinct and \
-                    ("sum", False, arg.key()) in agg_index:
+                    (("sum", False, arg.key()) in agg_index or
+                     arg.type.is_decimal):
                 # ReuseAggregateExpressions analog (query_optimizer/rules/
                 # ReuseAggregateExpressions.hpp): AVG(e) reuses an existing
                 # SUM(e) as SUM(e)/COUNT(e) — note the SQL divide typing
-                # (LONG/LONG is integer division, as the reference prints)
-                sum_attr = _attr_of(agg_attrs[agg_index[("sum", False,
-                                                         arg.key())]])
+                # (LONG/LONG is integer division, as the reference prints).
+                # AVG over DECIMAL always decomposes: the sum stays an exact
+                # integer accumulation and only the final divide is f64.
+                sum_key = ("sum", False, arg.key())
+                if sum_key not in agg_index:
+                    st = AggregateSpec.result_type_for("sum", arg)
+                    agg_index[sum_key] = len(aggs)
+                    aggs.append(AggregateSpec(fn="sum", arg=arg,
+                                              distinct=False, result_type=st))
+                    agg_attrs.append(OutAttr(next_expr_id(),
+                                             f"sum_{len(aggs) - 1}", st))
+                sum_attr = _attr_of(agg_attrs[agg_index[sum_key]])
                 if arg.type.nullable:
                     cnt_key = ("count", False, arg.key())
                     cnt_spec = AggregateSpec(fn="count", arg=arg, distinct=False,
@@ -629,7 +644,9 @@ class Resolver:
             if isinstance(ast_e, A.CaseExpr):
                 return self._resolve_case(ast_e, scope, state, rewriter=rewrite)
             if isinstance(ast_e, A.CastExpr):
-                t = TypeFactory.from_name(ast_e.target_type_name, ast_e.target_length)
+                t = TypeFactory.from_name(ast_e.target_type_name,
+                                          ast_e.target_length,
+                                          scale=ast_e.target_scale)
                 return Cast(operand=rewrite(ast_e.operand), type=t)
             raise ResolutionError(
                 "expression must appear in GROUP BY or be inside an aggregate",
@@ -904,7 +921,8 @@ class Resolver:
         if isinstance(e, A.CaseExpr):
             return self._resolve_case(e, scope, state)
         if isinstance(e, A.CastExpr):
-            t = TypeFactory.from_name(e.target_type_name, e.target_length)
+            t = TypeFactory.from_name(e.target_type_name, e.target_length,
+                                      scale=e.target_scale)
             return Cast(operand=self._resolve_expr(e.operand, scope, state), type=t)
         if isinstance(e, A.ExtractExpr):
             operand = self._resolve_expr(e.operand, scope, state)
@@ -985,6 +1003,8 @@ class Resolver:
         if not (lt.is_numeric and rt.is_numeric):
             raise ResolutionError(
                 f"cannot apply {op} to {lt} and {rt}", node.line, node.column)
+        if lt.is_decimal or rt.is_decimal:
+            return self._make_decimal_arith(op, lhs, rhs, node)
         t = TypeFactory.unify(lt, rt)
         if op == "/" and t.is_integral:
             pass  # SQL integer division keeps integral type
@@ -994,11 +1014,69 @@ class Resolver:
             return _fold_numeric(result)
         return result
 
+    def _make_decimal_arith(self, op: str, lhs: Expr, rhs: Expr,
+                            node: A.Node) -> Expr:
+        """Arithmetic involving a DECIMAL operand. Stay in the exact integer
+        units domain when possible (+/- at one scale; * sums the scales);
+        decode to DOUBLE otherwise (division, inexact literals, scale
+        overflow). This is the TPU replacement for f64 decimal math — v5e
+        emulates f64, so every op kept integer runs at native VPU speed."""
+        lt, rt = lhs.type, rhs.type
+        nullable = lt.nullable or rt.nullable
+        if op in ("+", "-"):
+            l2, r2 = _align_decimal_pair(lhs, rhs)
+            if l2.type.is_decimal and r2.type.is_decimal:
+                t = Type(TypeID.DECIMAL, nullable=nullable,
+                         precision=min(18, max(l2.type.precision,
+                                               r2.type.precision) + 1),
+                         scale=l2.type.scale)
+                result = Arith(op=op, lhs=l2, rhs=r2, type=t)
+                if isinstance(l2, Lit) and isinstance(r2, Lit) and \
+                        l2.value is not None and r2.value is not None:
+                    return _fold_numeric(result)
+                return result
+            return self._make_binary(op, l2, r2, node)
+        if op == "*":
+            # try to express both sides as decimals whose scales sum <= 6
+            pairs = [(lhs, rhs)]
+            if not (lt.is_decimal and rt.is_decimal):
+                dec, other = (lhs, rhs) if lt.is_decimal else (rhs, lhs)
+                o2 = None
+                if isinstance(other, Lit) and other.value is not None:
+                    o2 = _lit_as_decimal(other, max_scale=6 - dec.type.scale)
+                elif other.type.is_integral:
+                    o2 = _integral_to_decimal(other, 0)
+                if o2 is not None:
+                    pairs = [(dec, o2) if lt.is_decimal else (o2, dec)]
+                else:
+                    pairs = []
+            for l2, r2 in pairs:
+                s = l2.type.scale + r2.type.scale
+                if s > 6:
+                    break
+                t = Type(TypeID.DECIMAL, nullable=nullable,
+                         precision=min(18, l2.type.precision +
+                                       r2.type.precision),
+                         scale=s)
+                result = Arith(op="*", lhs=l2, rhs=r2, type=t)
+                if isinstance(l2, Lit) and isinstance(r2, Lit) and \
+                        l2.value is not None and r2.value is not None:
+                    return _fold_numeric(result)
+                return result
+        # division / modulo / anything inexact: decode to DOUBLE
+        return self._make_binary(op, _decode_decimal(lhs),
+                                 _decode_decimal(rhs), node)
+
     def _make_comparison(self, op: str, lhs: Expr, rhs: Expr, node: A.Node) -> Expr:
         lt, rt = lhs.type, rhs.type
         # string vs string-literal -> ordered-code comparison
         if lt.is_string or rt.is_string:
             return self._make_string_comparison(op, lhs, rhs, node)
+        if lt.is_decimal or rt.is_decimal:
+            # keep decimal comparisons in the integer units domain when exact
+            # (the compressed-code comparison analog); decode to f64 otherwise
+            lhs, rhs = _align_decimal_pair(lhs, rhs)
+            return Cmp(op=op, lhs=lhs, rhs=rhs, type=INT)
         if lt.is_numeric != rt.is_numeric and not (
                 lt.type_id == rt.type_id):
             if {lt.type_id, rt.type_id} <= {TypeID.DATE, TypeID.DATETIME} or \
@@ -1085,6 +1163,15 @@ class Resolver:
                                    negated=e.negated, type=INT)
         if all(isinstance(it, Lit) for it in items):
             vals = [it.value for it in items]
+            if operand.type.is_decimal:
+                units = [_dec_lit_units(it, operand.type.scale)
+                         for it in items]
+                if all(u is not None for u in units):
+                    return InSet(operand=operand, values=tuple(units),
+                                 negated=e.negated, type=INT)
+                return InSet(operand=_decode_decimal(operand),
+                             values=tuple(float(v) for v in vals),
+                             negated=e.negated, type=INT)
             return InSet(operand=operand, values=tuple(vals), negated=e.negated,
                          type=INT)
         # general expressions in the IN list: expand to an OR of equalities
@@ -1130,6 +1217,15 @@ class Resolver:
             out = Case(when_clauses=whens, else_result=else_r, type=result_type)
             out._dictionary = merged
             return out
+        results = [r for _, r in whens] + (
+            [else_r] if else_r is not None else [])
+        if any(r.type.is_decimal for r in results):
+            aligned, result_type2 = _align_decimal_branches(
+                results, nullable=result_type.nullable
+                if result_type is not None else True)
+            whens = [(c, w) for (c, _), w in zip(whens, aligned)]
+            else_r = aligned[-1] if else_r is not None else None
+            result_type = result_type2
         return Case(when_clauses=whens, else_result=else_r, type=result_type)
 
     def _resolve_substring(self, e: A.SubstringExpr, scope: Scope,
@@ -1456,6 +1552,135 @@ def _literal_to_expr(e: A.Literal) -> Lit:
     raise ResolutionError(f"bad literal {v!r}", e.line, e.column)
 
 
+def _units_precision(u: int) -> int:
+    return 9 if -2**31 < u < 2**31 else 18
+
+
+def _dec_lit_units(lit: Lit, scale: int):
+    """Exact scaled-integer value of a numeric literal at `scale`, or None if
+    the literal is not exactly representable there (e.g. 0.001 at scale 2)."""
+    v = lit.value
+    if v is None or isinstance(v, str):
+        return None
+    u = float(v) * (10 ** scale)
+    r = round(u)
+    if abs(u - r) <= 1e-9 * max(1.0, abs(u)):
+        return int(r)
+    return None
+
+
+def _lit_as_decimal(lit: Lit, max_scale: int) -> Optional[Lit]:
+    """Smallest-scale exact decimal form of a numeric literal (scale <=
+    max_scale), or None."""
+    for s in range(0, max(0, max_scale) + 1):
+        u = _dec_lit_units(lit, s)
+        if u is not None and abs(float(lit.value) - u * 10.0 ** -s) <= \
+                1e-12 * max(1.0, abs(float(lit.value))):
+            return Lit(value=u, type=Type(TypeID.DECIMAL,
+                                          nullable=lit.type.nullable,
+                                          precision=_units_precision(u),
+                                          scale=s))
+    return None
+
+
+def _decode_decimal(e: Expr) -> Expr:
+    """DECIMAL expr -> its DOUBLE value (units * 10^-scale)."""
+    if not e.type.is_decimal:
+        return e
+    s = e.type.scale
+    if isinstance(e, Lit):
+        val = None if e.value is None else e.value / (10 ** s)
+        return Lit(value=val, type=DOUBLE.with_nullable(e.type.nullable))
+    return DecimalToDouble(operand=e,
+                           type=DOUBLE.with_nullable(e.type.nullable))
+
+
+def _rescale_decimal(e: Expr, new_scale: int) -> Expr:
+    """DECIMAL(s) -> DECIMAL(new_scale >= s); exact (multiply by 10^delta)."""
+    t = e.type
+    if t.scale == new_scale:
+        return e
+    newt = Type(TypeID.DECIMAL, nullable=t.nullable,
+                precision=min(18, t.precision + new_scale - t.scale),
+                scale=new_scale)
+    if isinstance(e, Lit):
+        val = None if e.value is None else \
+            int(e.value) * 10 ** (new_scale - t.scale)
+        return Lit(value=val, type=newt)
+    return Cast(operand=e, type=newt)
+
+
+def _integral_to_decimal(e: Expr, scale: int) -> Expr:
+    """INT/LONG expr -> DECIMAL(scale) units; exact."""
+    p = min(18, (9 if e.type.type_id == TypeID.INT else 18) + scale)
+    newt = Type(TypeID.DECIMAL, nullable=e.type.nullable,
+                precision=p, scale=scale)
+    if isinstance(e, Lit):
+        val = None if e.value is None else int(e.value) * 10 ** scale
+        return Lit(value=val, type=newt)
+    return Cast(operand=e, type=newt)
+
+
+def _align_decimal_branches(results: List[Expr], nullable: bool):
+    """Bring CASE branches that mix DECIMAL with other numerics onto one
+    representation: all at the max decimal scale when every branch converts
+    exactly (decimal rescale / scaled integer literal / integral expr),
+    otherwise all decoded to DOUBLE. Returns (new_branches, result_type)."""
+    smax = max(r.type.scale for r in results if r.type.is_decimal)
+    aligned = []
+    for r in results:
+        if r.type.is_decimal:
+            aligned.append(_rescale_decimal(r, smax))
+        elif r.type.type_id == TypeID.NULLTYPE:
+            aligned.append(r)
+        elif isinstance(r, Lit):
+            u = _dec_lit_units(r, smax)
+            if u is None:
+                aligned = None
+                break
+            aligned.append(Lit(value=u, type=Type(
+                TypeID.DECIMAL, nullable=r.type.nullable,
+                precision=_units_precision(u), scale=smax)))
+        elif r.type.is_integral:
+            aligned.append(_integral_to_decimal(r, smax))
+        else:
+            aligned = None
+            break
+    if aligned is None:
+        return [_decode_decimal(r) for r in results], \
+            DOUBLE.with_nullable(nullable)
+    p = max((a.type.precision for a in aligned if a.type.is_decimal),
+            default=18)
+    return aligned, Type(TypeID.DECIMAL, nullable=nullable,
+                         precision=p, scale=smax)
+
+
+def _align_decimal_pair(lhs: Expr, rhs: Expr) -> Tuple[Expr, Expr]:
+    """Bring a (decimal, any-numeric) operand pair into one comparison domain:
+    both decimal at a common scale (exact integer compare) when possible,
+    otherwise both decoded to DOUBLE."""
+    lt, rt = lhs.type, rhs.type
+    if lt.is_decimal and rt.is_decimal:
+        smax = max(lt.scale, rt.scale)
+        return _rescale_decimal(lhs, smax), _rescale_decimal(rhs, smax)
+    dec_is_left = lt.is_decimal
+    dec, other = (lhs, rhs) if dec_is_left else (rhs, lhs)
+    s = dec.type.scale
+    o2 = None
+    if isinstance(other, Lit):
+        u = _dec_lit_units(other, s)
+        if u is not None:
+            o2 = Lit(value=u, type=Type(TypeID.DECIMAL,
+                                        nullable=other.type.nullable,
+                                        precision=_units_precision(u),
+                                        scale=s))
+    elif other.type.is_integral:
+        o2 = _integral_to_decimal(other, s)
+    if o2 is None:
+        return _decode_decimal(lhs), _decode_decimal(rhs)
+    return (dec, o2) if dec_is_left else (o2, dec)
+
+
 def _fold_numeric(a: Arith) -> Lit:
     x, y = a.lhs.value, a.rhs.value
     op = a.op
@@ -1632,12 +1857,14 @@ def _max_id(ids: set) -> int:
 
 
 def _find_single_agg(plan: L.LogicalNode):
-    """Locate the Aggregate node of a correlated scalar subquery plan and its single
-    aggregate output attr."""
+    """Locate the Aggregate node of a correlated scalar subquery plan and its
+    first aggregate output attr. Multiple aggregates arise when AVG over a
+    DECIMAL argument decomposes into SUM/COUNT — fine, because the subquery's
+    select expression (result_expr) references them explicitly."""
     node = plan
     while isinstance(node, (L.Project,)):
         node = node.input
-    if isinstance(node, L.Aggregate) and len(node.aggregates) == 1 and \
+    if isinstance(node, L.Aggregate) and len(node.aggregates) >= 1 and \
             not node.group_by:
         return node, node.agg_attrs[0]
     return None, None

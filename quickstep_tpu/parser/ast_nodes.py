@@ -124,6 +124,7 @@ class CastExpr(Expr):
     operand: Expr = None
     target_type_name: str = ""
     target_length: int = 0
+    target_scale: object = None   # DECIMAL(p, s) second parameter
 
 
 @dataclasses.dataclass
@@ -255,6 +256,7 @@ class ColumnDef(Node):
     name: str = ""
     type_name: str = ""
     type_length: int = 0
+    type_scale: object = None     # DECIMAL(p, s) second parameter
     not_null: bool = False
     nullable: bool = False        # explicit NULL marker (reference grammar:
     #                               columns default to NOT NULL)

@@ -577,10 +577,11 @@ class _Parser:
             self.expect_op("(")
             operand = self.parse_expr()
             self.expect_kw("as")
-            tname, tlen = self.parse_type_name()
+            tname, tlen, tscale = self.parse_type_name()
             self.expect_op(")")
             return A.CastExpr(operand=operand, target_type_name=tname,
-                              target_length=tlen, line=t.line, column=t.column)
+                              target_length=tlen, target_scale=tscale,
+                              line=t.line, column=t.column)
         if self.at_kw("extract"):
             self.next()
             self.expect_op("(")
@@ -694,13 +695,16 @@ class _Parser:
         if self.peek().kind == "ident" and self.peek().value.lower() == "varying":
             self.next()
             name, nl = "varchar", "varchar"
+        scale = None
         if self.at_op("("):
             self.next()
             length = int(self.next().value)
             if self.accept_op(","):
-                self.next()  # scale for DECIMAL(p, s) — semantics are DOUBLE anyway
+                # DECIMAL(p, s): keep the scale — it selects the exact
+                # scaled-integer storage encoding (types/types.py DECIMAL)
+                scale = int(self.next().value)
             self.expect_op(")")
-        return name, length
+        return name, length, scale
 
     # ---------- DDL / DML ----------
     def parse_create(self) -> A.Statement:
@@ -711,8 +715,9 @@ class _Parser:
             self.expect_op("(")
             while True:
                 cname = self.expect_ident()
-                tname, tlen = self.parse_type_name()
-                cd = A.ColumnDef(name=cname, type_name=str(tname), type_length=tlen)
+                tname, tlen, tscale = self.parse_type_name()
+                cd = A.ColumnDef(name=cname, type_name=str(tname),
+                                 type_length=tlen, type_scale=tscale)
                 while True:
                     if self.accept_kw("not"):
                         self.expect_kw("null")

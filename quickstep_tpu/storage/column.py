@@ -74,6 +74,9 @@ def _encode_scalar(typ: Type, v):
         return parse_date_literal(v) if isinstance(v, str) else int(v)
     if tid == TypeID.DATETIME:
         return parse_datetime_literal(v) if isinstance(v, str) else int(v)
+    if tid == TypeID.DECIMAL:
+        # value -> scaled integer units (types/types.py DECIMAL encoding)
+        return int(round(float(v) * (10 ** typ.scale)))
     if typ.is_floating:
         return float(v)
     return int(v)
@@ -85,6 +88,8 @@ def _decode_scalar(typ: Type, v):
         return date_to_str(int(v))
     if tid == TypeID.DATETIME:
         return datetime_to_str(int(v))
+    if tid == TypeID.DECIMAL:
+        return int(v) / (10 ** typ.scale)
     if typ.is_floating:
         return float(v)
     return int(v)

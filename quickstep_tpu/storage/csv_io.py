@@ -110,7 +110,10 @@ def _parse_column(typ: Type, raw: List[str]) -> Column:
                            for v, m in zip(raw, null_mask)], dtype=np.int64)
         return Column(typ, vals, valid, None)
     arr = np.asarray(["0" if m else v for v, m in zip(raw, null_mask)])
-    if typ.is_floating:
+    if tid == TypeID.DECIMAL:
+        vals = np.round(arr.astype(np.float64) *
+                        (10 ** typ.scale)).astype(typ.device_dtype)
+    elif typ.is_floating:
         vals = arr.astype(np.float64).astype(typ.device_dtype)
     else:
         vals = arr.astype(np.int64).astype(typ.device_dtype)

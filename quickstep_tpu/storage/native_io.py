@@ -67,6 +67,7 @@ def native_available() -> bool:
 _TYPE_CODE = {
     TypeID.INT: 0, TypeID.LONG: 0,
     TypeID.FLOAT: 1, TypeID.DOUBLE: 1,
+    TypeID.DECIMAL: 1,  # float parse, scaled to integer units host-side
     TypeID.DATE: 2,
     TypeID.DATETIME: 3,  # parsed as string, converted host-side (rare)
     TypeID.CHAR: 3, TypeID.VARCHAR: 3,
@@ -132,6 +133,9 @@ def parse_csv_native(path: str, schema: List[Tuple[str, Type]],
             out[name] = (arr.astype(np.int32), null_mask)
         elif t.type_id == TypeID.FLOAT:
             out[name] = (arr.astype(np.float32), null_mask)
+        elif t.type_id == TypeID.DECIMAL:
+            out[name] = (np.round(arr * (10 ** t.scale)).astype(
+                t.device_dtype), null_mask)
         else:
             out[name] = (arr, null_mask)
     return out, nrows

@@ -44,9 +44,11 @@ class TypeID(enum.IntEnum):
     DATETIME_INTERVAL = 8
     YEARMONTH_INTERVAL = 9
     NULLTYPE = 10
+    DECIMAL = 11
 
 
-_NUMERIC = {TypeID.INT, TypeID.LONG, TypeID.FLOAT, TypeID.DOUBLE}
+_NUMERIC = {TypeID.INT, TypeID.LONG, TypeID.FLOAT, TypeID.DOUBLE,
+            TypeID.DECIMAL}
 _STRING = {TypeID.CHAR, TypeID.VARCHAR}
 
 _DEVICE_DTYPE = {
@@ -61,6 +63,7 @@ _DEVICE_DTYPE = {
     TypeID.DATETIME_INTERVAL: np.int64,
     TypeID.YEARMONTH_INTERVAL: np.int32,
     TypeID.NULLTYPE: np.int32,
+    TypeID.DECIMAL: np.int32,  # scaled units; int64 when precision > 9
 }
 
 # Type::getPrintWidth values (see Type.print_width)
@@ -74,6 +77,7 @@ _PRINT_WIDTH = {
     TypeID.DATETIME_INTERVAL: 40,    # sign + days + " days " + HH:MM:SS.ssssss
     TypeID.YEARMONTH_INTERVAL: 33,   # sign + years + " years " + MM + " mons"
     TypeID.NULLTYPE: 4,              # "NULL"
+    TypeID.DECIMAL: 24,              # printed as a double (value = units*10^-s)
 }
 
 _PRINT_NAME = {
@@ -88,16 +92,31 @@ _PRINT_NAME = {
     TypeID.DATETIME_INTERVAL: "DatetimeInterval",
     TypeID.YEARMONTH_INTERVAL: "YearMonthInterval",
     TypeID.NULLTYPE: "NullType",
+    TypeID.DECIMAL: "Decimal",
 }
 
 
 @dataclasses.dataclass(frozen=True)
 class Type:
-    """An immutable SQL type: id + nullability + optional string length parameter."""
+    """An immutable SQL type: id + nullability + optional parameters.
+
+    DECIMAL(precision, scale) is the one departure from the reference's type
+    lattice (which folds DECIMAL to DOUBLE, parser/SqlParser.ypp:791-799): here
+    it is a first-class *storage encoding* — values are stored and computed as
+    integers of `value * 10^scale` units (int32 when precision <= 9, else
+    int64), the TPU-native analog of the reference's per-column compressed
+    encodings that evaluate predicates directly on codes
+    (compression/CompressionDictionary.hpp:64, storage/CompressedBlockBuilder.cpp).
+    On a TPU v5e, float64 arithmetic is software-emulated (~12% of HBM roofline
+    measured); native int32 compares/adds restore full scan bandwidth. Values
+    decode to doubles only at the result boundary.
+    """
 
     type_id: TypeID
     nullable: bool = False
-    length: int = 0  # CHAR/VARCHAR max length
+    length: int = 0     # CHAR/VARCHAR max length
+    precision: int = 0  # DECIMAL digits (<=9 -> int32 units, else int64)
+    scale: int = 0      # DECIMAL fractional digits; units = value * 10^scale
 
     # ---- classification ----
     @property
@@ -116,9 +135,15 @@ class Type:
     def is_floating(self) -> bool:
         return self.type_id in (TypeID.FLOAT, TypeID.DOUBLE)
 
+    @property
+    def is_decimal(self) -> bool:
+        return self.type_id == TypeID.DECIMAL
+
     # ---- device mapping ----
     @property
     def device_dtype(self) -> np.dtype:
+        if self.type_id == TypeID.DECIMAL:
+            return np.dtype(np.int32 if self.precision <= 9 else np.int64)
         return np.dtype(_DEVICE_DTYPE[self.type_id])
 
     @property
@@ -140,6 +165,8 @@ class Type:
         base = _PRINT_NAME[self.type_id]
         if self.is_string:
             base = f"{base}({self.length})"
+        elif self.is_decimal:
+            base = f"{base}({self.precision},{self.scale})"
         if self.nullable:
             base += " NULL"
         return base
@@ -158,6 +185,12 @@ class Type:
             return self.nullable
         if self.type_id == other.type_id:
             return True
+        # DECIMAL stores scaled integers: any numeric coerces in (encoded at
+        # the boundary), and it coerces out to floats.
+        if self.is_decimal:
+            return other.is_numeric
+        if other.is_decimal:
+            return self.is_floating
         if self.is_numeric and other.is_numeric:
             order = {TypeID.INT: 0, TypeID.LONG: 1, TypeID.FLOAT: 2, TypeID.DOUBLE: 3}
             # LONG -> FLOAT is allowed (lossy but implicit in SQL), matching the
@@ -188,6 +221,11 @@ def VarChar(length: int, nullable: bool = False) -> Type:
     return Type(TypeID.VARCHAR, nullable=nullable, length=length)
 
 
+def Decimal(precision: int = 9, scale: int = 2, nullable: bool = False) -> Type:
+    return Type(TypeID.DECIMAL, nullable=nullable,
+                precision=precision, scale=scale)
+
+
 class TypeFactory:
     """Type construction / unification helpers (reference TypeFactory + NumericTypeUnifier)."""
 
@@ -210,8 +248,19 @@ class TypeFactory:
                 return Type(TypeID.VARCHAR if a.type_id == TypeID.VARCHAR or
                             b.type_id == TypeID.VARCHAR else TypeID.CHAR,
                             nullable=nullable, length=max(a.length, b.length))
+            if a.is_decimal:
+                if a.scale == b.scale:
+                    return Type(TypeID.DECIMAL, nullable=nullable,
+                                precision=max(a.precision, b.precision),
+                                scale=a.scale)
+                return DOUBLE.with_nullable(nullable)  # mixed scales: decode
             return a.with_nullable(nullable)
         if a.is_numeric and b.is_numeric:
+            if a.is_decimal or b.is_decimal:
+                # decimal mixed with any other numeric unifies to DOUBLE; the
+                # resolver keeps exact integer forms where it can (scaled
+                # literals / integral rescale) before falling back to this.
+                return DOUBLE.with_nullable(nullable)
             tid = max(a.type_id, b.type_id, key=lambda t: cls._NUMERIC_RANK[t])
             return Type(tid, nullable=nullable)
         if a.is_string and b.is_string:
@@ -220,8 +269,12 @@ class TypeFactory:
         return None
 
     @classmethod
-    def from_name(cls, name: str, length: int = 0, nullable: bool = False) -> Type:
-        """Parse a SQL type name (as the grammar does, SqlParser.ypp:760-820)."""
+    def from_name(cls, name: str, length: int = 0, nullable: bool = False,
+                  scale: Optional[int] = None) -> Type:
+        """Parse a SQL type name (as the grammar does, SqlParser.ypp:760-820).
+
+        DECIMAL/NUMERIC *without* parameters keeps the reference's DOUBLE
+        semantics; DECIMAL(p, s) selects the exact scaled-integer encoding."""
         n = name.upper()
         if n in ("INT", "INTEGER", "SMALLINT"):
             return Type(TypeID.INT, nullable=nullable)
@@ -229,6 +282,9 @@ class TypeFactory:
             return Type(TypeID.LONG, nullable=nullable)
         if n == "FLOAT":
             return Type(TypeID.FLOAT, nullable=nullable)
+        if n in ("DECIMAL", "NUMERIC") and scale is not None:
+            return Type(TypeID.DECIMAL, nullable=nullable,
+                        precision=max(int(length), 1), scale=int(scale))
         if n in ("DOUBLE", "REAL", "DECIMAL", "NUMERIC"):
             return Type(TypeID.DOUBLE, nullable=nullable)
         if n in ("CHAR", "CHARACTER"):
