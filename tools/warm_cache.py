@@ -15,10 +15,14 @@ run), prints timing, exits. Failures are reported but don't stop the others.
 import os
 import subprocess
 import sys
+import tempfile
 import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = """
 import os, sys, time
+sys.path.insert(0, sys.argv[3])  # repo root: run from anywhere
 t0 = time.time()
 from quickstep_tpu import Database
 from quickstep_tpu.bench.tpch import TPCH_QUERIES
@@ -34,21 +38,33 @@ def main():
     qspec = sys.argv[2] if len(sys.argv) > 2 else "all"
     qlist = list(range(1, 23)) if qspec == "all" else [int(x) for x in qspec.split(",")]
     maxpar = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    store = f"data/tpch_sf{sf}"
+    store = os.path.join(REPO_ROOT, f"data/tpch_sf{sf}")
     procs = {}
     pending = list(qlist)
     t0 = time.time()
     while pending or procs:
         while pending and len(procs) < maxpar:
             q = pending.pop(0)
-            p = subprocess.Popen([sys.executable, "-c", CHILD, str(q), store],
-                                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            procs[q] = p
+            # children write to temp files, not pipes: a child dumping a huge
+            # Mosaic/MLIR error would fill a 64KB pipe buffer and deadlock
+            out = tempfile.NamedTemporaryFile(mode="w+", delete=False,
+                                              prefix=f"warm_q{q}_",
+                                              suffix=".log")
+            p = subprocess.Popen(
+                [sys.executable, "-c", CHILD, str(q), store, REPO_ROOT],
+                stdout=out, stderr=subprocess.STDOUT)
+            procs[q] = (p, out.name)
+            out.close()
         time.sleep(2)
-        for q, p in list(procs.items()):
+        for q, (p, path) in list(procs.items()):
             if p.poll() is not None:
-                out = p.stdout.read().decode(errors="replace")
-                lines = [l for l in out.strip().splitlines() if l]
+                try:
+                    with open(path, errors="replace") as f:
+                        out_text = f.read()
+                    os.unlink(path)
+                except OSError:
+                    out_text = ""
+                lines = [l for l in out_text.strip().splitlines() if l]
                 ok = p.returncode == 0
                 tail = lines[-1:] if ok else lines[-25:]
                 status = "ok" if ok else f"FAIL rc={p.returncode}"
