@@ -58,6 +58,10 @@ class Config:
     bloom_filter_bits_per_key: int = 8  # LIP filter sizing
     # --- correctness / testing ---
     float_print_decimals: int = 2
+    # Force the non-injective (colliding) key packing in expansion joins so
+    # tests can prove the probe-side verify-gather rejects hash collisions
+    # (the reference verifies key equality on every probe, storage/HashTable.hpp)
+    test_weak_hash_join: bool = False
 
 
 # Process-wide default config (tests construct their own and pass it down).

@@ -696,8 +696,10 @@ class PlanRunner:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
-        packed_b, packed_p = self._pack_keys(node, build, probe,
-                                             bk_data, pk_data)
+        # routing key only: colliding hash packs just co-locate distinct keys
+        # on one device (harmless); _join_local re-packs from real columns
+        packed_b, packed_p, _hashed = self._pack_keys(node, build, probe,
+                                                      bk_data, pk_data)
         # == marshal payloads: key exprs + every attr column (+ valid masks) ==
         def flatten_side(chunk, key_cols):
             arrays = [c for c in key_cols]
@@ -891,8 +893,8 @@ class PlanRunner:
         else:
             # residual participates in matching: expand from the build side and
             # test the residual per candidate pair
-            packed_b, packed_p = self._pack_keys(node, build, probe,
-                                                 bk_data, pk_data)
+            packed_b, packed_p, hashed = self._pack_keys(node, build, probe,
+                                                         bk_data, pk_data)
             sorted_key, order = J.sorted_build(packed_p, pmask)
             kmax = (ov.max_matches if ov and ov.max_matches
                     else self._default_k(node, probe, node.left_keys))
@@ -906,6 +908,8 @@ class PlanRunner:
             for k in range(kmax):
                 pidx = rows[:, k]
                 okk = pidx >= 0
+                if hashed:
+                    okk = self._verify_keys(pidx, okk, bk_data, pk_data)
                 pair = self._pair_chunk(node, build, probe, pidx, okk)
                 passed = self._eval_pred(pair, node.residual)
                 bmatched = bmatched | (okk & passed)
@@ -1039,7 +1043,8 @@ class PlanRunner:
         pmask = probe.alive if pmask is None else pmask
         bmask = build.alive if bmask is None else bmask
         # pack build keys into one int64 (range-packed; falls back to hash packing)
-        packed_b, packed_p = self._pack_keys(node, build, probe, bk_data, pk_data)
+        packed_b, packed_p, hashed = self._pack_keys(node, build, probe,
+                                                     bk_data, pk_data)
         sorted_key, order = J.sorted_build(packed_b, bmask)
         max_matches = (ov.max_matches if ov and ov.max_matches
                        else self._default_k(node, build, node.right_keys))
@@ -1049,16 +1054,19 @@ class PlanRunner:
             jnp.any(counts > max_matches)
 
         if node.kind in ("semi", "anti"):
-            if node.residual is None:
+            if node.residual is None and not hashed:
                 matched = counts > 0
             else:
                 any_match = jnp.zeros((probe.capacity,), bool)
                 for k in range(max_matches):
                     bidx = rows[:, k]
                     ok = bidx >= 0
-                    pair = self._pair_chunk(node, probe, build, bidx, ok)
-                    passed = self._eval_pred(pair, node.residual)
-                    any_match = any_match | (ok & passed)
+                    if hashed:  # hash-packed: candidates need key verification
+                        ok = self._verify_keys(bidx, ok, pk_data, bk_data)
+                    if node.residual is not None:
+                        pair = self._pair_chunk(node, probe, build, bidx, ok)
+                        ok = ok & self._eval_pred(pair, node.residual)
+                    any_match = any_match | ok
                 matched = any_match
             if node.kind == "anti":
                 matched = ~matched
@@ -1068,6 +1076,9 @@ class PlanRunner:
         cap = probe.capacity * max_matches
         bidx = rows.reshape(-1)
         ok = bidx >= 0
+        if hashed:  # hash-packed candidates can collide: verify actual keys
+            ok = self._verify_keys(bidx, ok, pk_data, bk_data,
+                                   repeat=max_matches)
         safe_b = jnp.clip(bidx, 0, build.capacity - 1)
         slots = {}
         for a in probe.attrs:
@@ -1140,33 +1151,64 @@ class PlanRunner:
                      alive=probe.alive & ok, capacity=probe.capacity)
 
     def _pack_keys(self, node, build, probe, bk_data, pk_data):
-        if len(bk_data) == 1:
-            return bk_data[0].astype(jnp.int64), pk_data[0].astype(jnp.int64)
-        ranges = self._key_ranges(node.right_keys, build)
-        pranges = self._key_ranges(node.left_keys, probe)
-        merged = []
-        for rb, rp in zip(ranges, pranges):
-            if rb is None or rp is None:
-                merged = None
-                break
-            merged.append((min(rb[0], rp[0]), max(rb[1], rp[1])))
-        if merged is not None:
-            total = 1
-            for lo, hi in merged:
-                total *= (hi - lo + 1)
-            if total < 2**62:
-                def pack(cols):
-                    acc = jnp.zeros(cols[0].shape, jnp.int64)
-                    for c, (lo, hi) in zip(cols, merged):
-                        acc = acc * (hi - lo + 1) + (c.astype(jnp.int64) - lo)
-                    return acc
-                return pack(bk_data), pack(pk_data)
-        # hash-packing fallback (collision risk ~2^-64 per pair; the expansion probe
-        # would mis-join on collision — acceptable fallback, planner prefers ranges)
+        """Returns (packed_build, packed_probe, hashed). When `hashed` is True
+        the packing is NOT injective and consumers must verify the actual key
+        columns on every candidate pair (_verify_keys) — the analog of the
+        reference's key-equality check in every hash-table probe
+        (storage/HashTable.hpp bulk probe loops)."""
+        weak = getattr(self.config, "test_weak_hash_join", False)
+        if not weak:
+            if len(bk_data) == 1:
+                return (bk_data[0].astype(jnp.int64),
+                        pk_data[0].astype(jnp.int64), False)
+            ranges = self._key_ranges(node.right_keys, build)
+            pranges = self._key_ranges(node.left_keys, probe)
+            merged = []
+            for rb, rp in zip(ranges, pranges):
+                if rb is None or rp is None:
+                    merged = None
+                    break
+                merged.append((min(rb[0], rp[0]), max(rb[1], rp[1])))
+            if merged is not None:
+                total = 1
+                for lo, hi in merged:
+                    total *= (hi - lo + 1)
+                if total < 2**62:
+                    def pack(cols):
+                        acc = jnp.zeros(cols[0].shape, jnp.int64)
+                        for c, (lo, hi) in zip(cols, merged):
+                            acc = acc * (hi - lo + 1) + \
+                                (c.astype(jnp.int64) - lo)
+                        return acc
+                    return pack(bk_data), pack(pk_data), False
+        else:
+            # test hook: a deliberately colliding "hash" (mod 3) so the
+            # verify-gather path is exercised by adversarial tests
+            hb = jnp.zeros(bk_data[0].shape, jnp.int64)
+            hp = jnp.zeros(pk_data[0].shape, jnp.int64)
+            for b, p in zip(bk_data, pk_data):
+                hb = hb + b.astype(jnp.int64)
+                hp = hp + p.astype(jnp.int64)
+            return hb % 3, hp % 3, True
         from quickstep_tpu.ops.kernels import hash64, hash_combine
         hb = hash_combine([hash64(c.astype(jnp.int64)) for c in bk_data])
         hp = hash_combine([hash64(c.astype(jnp.int64)) for c in pk_data])
-        return hb.astype(jnp.int64), hp.astype(jnp.int64)
+        return hb.astype(jnp.int64), hp.astype(jnp.int64), True
+
+    def _verify_keys(self, idx, ok, src_keys, dst_keys, repeat=1):
+        """Collision guard for hash-packed keys: gather the actual key columns
+        of the dst side at `idx` and require equality with the src side's key
+        columns (src repeated `repeat`-fold for expansion layouts)."""
+        dst = [jnp.asarray(c) for c in dst_keys]
+        safe = jnp.clip(idx, 0, dst[0].shape[0] - 1)
+        gathered = K.multi_gather(dst, safe)
+        good = ok
+        for g, s in zip(gathered, src_keys):
+            s = jnp.asarray(s)
+            if repeat > 1:
+                s = jnp.repeat(s, repeat)
+            good = good & (g == s.astype(g.dtype))
+        return good
 
     def _default_k(self, node, build=None, keys=None) -> int:
         """Expansion width K: the max run of equal build keys. Exact stats
