@@ -256,6 +256,8 @@ def main():
                  "scan_mb": round(qbytes / 1e6, 1),
                  "gbps": round(gbps, 2),
                  "roofline_pct": round(100.0 * gbps / HBM_PEAK_GBPS, 2)}
+        if getattr(db.executor, "last_sort_path", None):
+            entry["sort"] = db.executor.last_sort_path
         if os.environ.get("BENCH_PROFILE"):
             # per-operator-class attribution (eager node-by-node stepping,
             # the WorkOrder-timing analog): scan / join / agg / sort ms

@@ -50,6 +50,11 @@ class Config:
     direct_join_domain_limit: int = 1 << 27   # <=536MB int32 table (SF10 orderkey=60M)
     direct_join_density: float = 16.0         # domain <= density * build rows
     join_output_factor: float = 1.5     # capacity estimate multiplier for many-many joins
+    # Presentation ORDER BY: results with at least this many rows sort on
+    # device (payload-carrying lax.sort + top-limit slice; only presented rows
+    # cross the host link). Smaller results use the host lexsort, which avoids
+    # an XLA sort compile per ad-hoc query shape.
+    device_sort_threshold_rows: int = 1 << 20
     default_mesh_axis: str = "x"
     preload_buffer_pool: bool = False   # device-warm base tables at startup
     hbm_budget_bytes: int = 0           # 0 = unlimited; else evict device tables

@@ -49,6 +49,8 @@ class Executor:
         self.last_profile: Optional[dict] = None
         self.last_stream_info: Optional[dict] = None
         self.last_attempts = 0
+        self._sort_programs: Dict[tuple, object] = {}
+        self.last_sort_path: Optional[str] = None
         self.mesh = None
         from quickstep_tpu.storage.eviction import make_policy
         self._eviction = make_policy(config.eviction_policy,
@@ -471,8 +473,28 @@ class Executor:
 
     def _materialize_sorted(self, outs, out_attrs, sort_node: L.Sort,
                             final_attrs, trim_ids):
-        """Host-side presentation sort: stable numpy lexsort on encoded values
-        (order-preserving), NULLS FIRST/LAST semantics, then limit + trim."""
+        """Presentation sort. Small results: stable numpy lexsort on the host
+        (encoded values are order-preserving; avoids an XLA:TPU sort compile
+        per ad-hoc query shape). Large results (>= device_sort_threshold_rows):
+        an on-device payload-carrying lax.sort + top-limit slice, so only the
+        presented rows ever cross the host link — the single-pass analog of
+        the reference's SortRunGeneration + SortMergeRun pipeline
+        (relational_operators/SortMergeRunOperator.hpp:72-129; one TPU sort
+        replaces run generation + k-way merge)."""
+        n_result = outs[2]
+        self.last_sort_path = "host"
+        if (n_result >= self.config.device_sort_threshold_rows
+                and jax.process_count() == 1):
+            pulled = self._device_sort_pull(outs, out_attrs, sort_node)
+            if pulled is not None:
+                self.last_sort_path = "device"
+                datas, valids, n = pulled
+                by_id = {a.expr_id: (a, d, v)
+                         for a, d, v in zip(out_attrs, datas, valids)}
+                order = np.arange(n)
+                if sort_node.limit is not None:
+                    order = order[:sort_node.limit]
+                return self._trim_rows(by_id, order, final_attrs, trim_ids)
         datas, valids, n = self._pull_outputs(outs)
         by_id = {a.expr_id: (a, d, v)
                  for a, d, v in zip(out_attrs, datas, valids)}
@@ -503,6 +525,9 @@ class Executor:
             order = np.arange(n)
         if sort_node.limit is not None:
             order = order[:sort_node.limit]
+        return self._trim_rows(by_id, order, final_attrs, trim_ids)
+
+    def _trim_rows(self, by_id, order, final_attrs, trim_ids):
         names = [a.name for a in final_attrs]
         types = [a.type for a in final_attrs]
         cols = []
@@ -519,6 +544,76 @@ class Executor:
             cols.append(vals)
         rows = list(zip(*cols)) if cols else []
         return rows, names, types
+
+    def _device_sort_pull(self, outs, out_attrs, sort_node: L.Sort):
+        """Sort the (still-on-device, live-prefix-compacted) result arrays with
+        one payload-carrying lax.sort, slice the top limit rows, and pull only
+        those. Compiled once per (shape bucket, dtypes, key spec) — a tiny
+        standalone program, so no per-query compile churn. Returns
+        (host_datas, host_valids, n_pulled) or None when a key is unsortable
+        here (falls back to the host lexsort)."""
+        datas, valids, n, _pref = outs
+        if not datas:
+            return None
+        capacity = int(jnp.shape(datas[0])[0])
+        m = min(capacity, K.next_pow2(max(n, 8)))
+        idx_of = {a.expr_id: i for i, a in enumerate(out_attrs)}
+        keyspec = []
+        for key, asc, nf in zip(sort_node.keys, sort_node.ascending,
+                                sort_node.nulls_first):
+            if key.expr_id not in idx_of:
+                return None
+            keyspec.append((idx_of[key.expr_id], bool(asc), nf))
+        keyspec = tuple(keyspec)
+        k_out = m if sort_node.limit is None else min(
+            K.round_up(max(sort_node.limit, 8), 8), m)
+        has_valid = tuple(v is not None for v in valids)
+        sig = (m, k_out, keyspec, has_valid,
+               tuple(str(jnp.asarray(d).dtype) for d in datas))
+        fn = self._sort_programs.get(sig)
+        if fn is None:
+            def sort_fn(ds, vs, nn):
+                iota = jnp.arange(m)
+                alive = iota < nn
+                key_ops = [(~alive).astype(jnp.int8)]  # dead rows last
+                for ki, asc, nf in keyspec:
+                    col = ds[ki]
+                    v = vs[ki]
+                    floating = jnp.issubdtype(col.dtype, jnp.floating)
+                    if not asc:
+                        col = -col if floating else ~col
+                    if v is not None:
+                        first = nf if nf is not None else (not asc)
+                        if floating:
+                            sent = -jnp.inf if first else jnp.inf
+                        else:
+                            info = jnp.iinfo(col.dtype)
+                            sent = info.min if first else info.max
+                        col = jnp.where(v, col, jnp.asarray(sent, col.dtype))
+                    key_ops.append(col)
+                payloads = [d for d in ds] + \
+                    [v.astype(jnp.int8) for v in vs if v is not None]
+                sorted_ops = jax.lax.sort(
+                    tuple(key_ops) + tuple(payloads),
+                    num_keys=len(key_ops), is_stable=True)
+                body = sorted_ops[len(key_ops):]
+                return tuple(x[:k_out] for x in body)
+            fn = jax.jit(sort_fn)
+            self._sort_programs[sig] = fn
+        ds = [jnp.asarray(d)[:m] for d in datas]
+        vs = [None if v is None else jnp.asarray(v)[:m] for v in valids]
+        out = jax.device_get(fn(ds, vs, jnp.asarray(n, jnp.int32)))
+        n_pull = min(n, k_out)
+        host_d = [np.asarray(x)[:n_pull] for x in out[:len(ds)]]
+        host_v = []
+        vi = len(ds)
+        for hv in has_valid:
+            if hv:
+                host_v.append(np.asarray(out[vi]).astype(bool)[:n_pull])
+                vi += 1
+            else:
+                host_v.append(None)
+        return host_d, host_v, n_pull
 
     def _pull_outputs(self, outs):
         """Device->host. The jitted program already returned a compacted result
