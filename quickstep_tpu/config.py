@@ -58,6 +58,10 @@ class Config:
     default_mesh_axis: str = "x"
     preload_buffer_pool: bool = False   # device-warm base tables at startup
     hbm_budget_bytes: int = 0           # 0 = unlimited; else evict device tables
+    # With a budget set and a plan whose over-budget table has no streamable
+    # shape: True = raise a documented error; False = attempt resident
+    # execution anyway (may OOM the device)
+    strict_hbm_budget: bool = False
     eviction_policy: str = "lru-k"      # lru-k | lru | uniform-random | evict-any
     eviction_lru_k: int = 2             # K for lru-k (LRUKEvictionPolicyFactory analog)
     bloom_filter_bits_per_key: int = 8  # LIP filter sizing

@@ -143,9 +143,31 @@ class Executor:
         # it segment-by-segment through the plan's aggregate prefix
         # (StorageManager buffer-pool analog; see exec/streaming.py).
         from quickstep_tpu.exec.streaming import plan_streaming
+        self.last_stream_info = None
         sp = plan_streaming(plan, self.db, self.config, self.mesh)
         if sp is not None:
             return self._run_streamed(sp)
+        if self.config.hbm_budget_bytes > 0 and self.mesh is None:
+            # No streamable shape: either proceed resident (risking device
+            # OOM) or fail loudly, per config — never fail silently later
+            from quickstep_tpu.exec import streaming as S
+            needed = S._needed_columns(plan)
+            over = []
+            for name, cols in needed.items():
+                rel = self.db.get_relation(name)
+                if rel is not None and rel.data is not None and \
+                        S._table_bytes(rel, cols) > \
+                        self.config.hbm_budget_bytes // 2:
+                    over.append(name)
+            if over and self.config.strict_hbm_budget:
+                raise ExecutionError(
+                    f"table(s) {', '.join(sorted(over))} exceed half the HBM "
+                    f"budget ({self.config.hbm_budget_bytes} bytes) and the "
+                    "plan has no streamable shape (the big table must be "
+                    "reachable through Filter/Project/Distinct/probe-side "
+                    "join edges and be scanned exactly once); raise "
+                    "hbm_budget_bytes, set strict_hbm_budget=False to "
+                    "attempt resident execution, or restructure the query")
         return self._run_plan_resident(plan)
 
     def _run_plan_resident(self, plan: L.LogicalNode):

@@ -243,20 +243,61 @@ def plan_streaming(plan, db, config, mesh=None) -> Optional[StreamPlan]:
     big = big[0]
     if sum(b for n, b in sizes.items() if n != big) > budget // 2:
         return None   # resident side alone blows the budget
+    if _count_scans(plan, big) != 1:
+        return None   # a second resident scan of big would blow the budget
 
     agg = _lowest_aggregate_over(plan, big)
-    if agg is None:
-        return None
-    path = _scan_path(agg.input, big)
-    if path is None:
-        return None
-    if _has_subquery(agg):
-        return None
-    scan = path[-1]
+    if agg is not None and not _has_subquery(agg):
+        path = _scan_path(agg.input, big)
+        if path is not None:
+            sp = _agg_stream_plan(plan, db, big, agg, path, sizes, budget)
+            if sp is not None:
+                return sp
+    # No decomposable aggregate prefix: stream the scan->filter->probe chain
+    # itself and materialize its (usually filtered-down) rows per segment;
+    # everything above the chain runs once over the concatenated rows.
+    return _row_stream_plan(plan, db, big, sizes, budget)
 
+
+def _count_scans(plan, name: str) -> int:
+    n = 1 if isinstance(plan, L.TableScan) and plan.relation_name == name \
+        else 0
+    return n + sum(_count_scans(c, name) for c in plan.children())
+
+
+def _finish_stream_plan(plan, db, big, partial_plan, partial_attrs,
+                        merge_plan, path, sizes, budget):
+    """Shared tail: SMA-prunable conjuncts + segment sizing."""
+    scan = path[-1]
+    scan_ids = {a.expr_id: a.name for a in scan.attrs}
+    filters: List[Expr] = []
+    for node in path:
+        if isinstance(node, L.Filter):
+            for c in split_conjuncts(node.predicate):
+                if c.referenced_attrs() <= set(scan_ids):
+                    filters.append(c)
+
+    # segment sizing: ~quarter of the budget per segment transfer
+    rel = db.get_relation(big)
+    n = rel.data.num_rows
+    row_bytes = max(1, sizes[big] // max(n, 1))
+    seg_rows = max(8, (budget // 4) // row_bytes)
+    seg_rows = min(seg_rows, n)
+    seg_rows = max(8, (seg_rows // 8) * 8)
+    n_segments = -(-n // seg_rows)
+    if n_segments <= 1:
+        return None
+    return StreamPlan(big_table=big, partial_plan=partial_plan,
+                      merge_plan=merge_plan, partial_attrs=partial_attrs,
+                      scan_filters=filters, scan_attr_cols=scan_ids,
+                      seg_rows=seg_rows, n_segments=n_segments)
+
+
+def _agg_stream_plan(plan, db, big, agg, path, sizes, budget):
     dec = _decompose(agg)
     if dec is None:
-        return None
+        return _distinct_agg_stream_plan(plan, db, big, agg, path, sizes,
+                                         budget)
     partial_specs, pagg_attrs, merge_specs, merge_attrs, final_exprs = dec
 
     # partial plan: same subtree, decomposed aggregates; group keys keep
@@ -288,31 +329,138 @@ def plan_streaming(plan, db, config, mesh=None) -> Optional[StreamPlan]:
                   for a in list(agg.group_attrs) + list(agg.agg_attrs)]
     merge_top = L.Project(input=magg, exprs=proj_exprs, attrs=proj_attrs)
     merge_plan = _replace_node(plan, agg, merge_top)
+    return _finish_stream_plan(plan, db, big, partial_plan, partial_attrs,
+                               merge_plan, path, sizes, budget)
 
-    # SMA-prunable conjuncts: Filters in the streamed chain whose predicate
-    # references only the big scan's columns
-    scan_ids = {a.expr_id: a.name for a in scan.attrs}
-    filters: List[Expr] = []
-    for node in path:
-        if isinstance(node, L.Filter):
-            for c in split_conjuncts(node.predicate):
-                if c.referenced_attrs() <= set(scan_ids):
-                    filters.append(c)
 
-    # segment sizing: ~quarter of the budget per segment transfer
-    rel = db.get_relation(big)
-    n = rel.data.num_rows
-    row_bytes = max(1, sizes[big] // max(n, 1))
-    seg_rows = max(8, (budget // 4) // row_bytes)
-    seg_rows = min(seg_rows, n)
-    seg_rows = max(8, (seg_rows // 8) * 8)
-    n_segments = -(-n // seg_rows)
-    if n_segments <= 1:
+def _distinct_agg_stream_plan(plan, db, big, agg, path, sizes, budget):
+    """DISTINCT-aggregate decomposition (the reference's distinctify tables,
+    storage/AggregationOperationState.cpp): per segment emit the DISTINCT
+    (group keys, arg) tuples; the merge phase re-runs the original DISTINCT
+    aggregate over their union — dedup across segments happens there, so the
+    per-segment dedup only shrinks the partials."""
+    if not agg.aggregates or not all(s.distinct for s in agg.aggregates):
         return None
-    return StreamPlan(big_table=big, partial_plan=partial_plan,
-                      merge_plan=merge_plan, partial_attrs=partial_attrs,
-                      scan_filters=filters, scan_attr_cols=scan_ids,
-                      seg_rows=seg_rows, n_segments=n_segments)
+    args = [s.arg for s in agg.aggregates]
+    if any(a is None for a in args):
+        return None
+    # all distinct aggs must share one argument (one distinctify table)
+    if len({a.key() for a in args}) != 1:
+        return None
+    arg = args[0]
+
+    pgroup_attrs = [OutAttr(next_expr_id(), f"__g{i}", a.type, a.dictionary)
+                    for i, a in enumerate(agg.group_attrs)]
+    arg_attr = OutAttr(next_expr_id(), "__darg", arg.type,
+                       _attr_dictionary(arg))
+    partial_plan = L.Distinct(input=L.Project(
+        input=agg.input,
+        exprs=list(agg.group_by) + [arg],
+        attrs=pgroup_attrs + [arg_attr]))
+    partial_attrs = pgroup_attrs + [arg_attr]
+
+    pscan = L.TableScan(relation_name=PARTIALS_REL,
+                        attrs=[dataclasses.replace(a) for a in partial_attrs])
+    mgroup_attrs = [OutAttr(next_expr_id(), a.name, a.type, a.dictionary)
+                    for a in pgroup_attrs]
+    arg_ref = Attr(expr_id=arg_attr.expr_id, type=arg_attr.type)
+    if arg_attr.dictionary is not None:
+        arg_ref._dictionary = arg_attr.dictionary
+    magg = L.Aggregate(
+        input=pscan,
+        group_by=[Attr(expr_id=g.expr_id, type=g.type) for g in pgroup_attrs],
+        group_attrs=mgroup_attrs,
+        aggregates=[dataclasses.replace(s, arg=arg_ref)
+                    for s in agg.aggregates],
+        agg_attrs=[OutAttr(next_expr_id(), a.name, a.type, a.dictionary)
+                   for a in agg.agg_attrs])
+    proj_exprs: List[Expr] = [
+        Attr(expr_id=g.expr_id, type=g.type) for g in mgroup_attrs
+    ] + [Attr(expr_id=a.expr_id, type=a.type) for a in magg.agg_attrs]
+    proj_attrs = [dataclasses.replace(a)
+                  for a in list(agg.group_attrs) + list(agg.agg_attrs)]
+    merge_top = L.Project(input=magg, exprs=proj_exprs, attrs=proj_attrs)
+    merge_plan = _replace_node(plan, agg, merge_top)
+    return _finish_stream_plan(plan, db, big, partial_plan, partial_attrs,
+                               merge_plan, path, sizes, budget)
+
+
+def _attr_dictionary(e):
+    return getattr(e, "_dictionary", None)
+
+
+def _root_path(plan, big) -> Optional[List[L.LogicalNode]]:
+    """Root-first node path from `plan` to the unique TableScan(big)."""
+    if isinstance(plan, L.TableScan):
+        return [plan] if plan.relation_name == big else None
+    for c in plan.children():
+        sub = _root_path(c, big)
+        if sub is not None:
+            return [plan] + sub
+    return None
+
+
+def _row_stream_plan(plan, db, big, sizes, budget):
+    """Row streaming for plans with no decomposable aggregate prefix
+    (join-only plans, DISTINCT over joins, non-decomposable aggregates):
+    the longest scan->Filter/Project/probe-Join/Distinct chain above the big
+    scan runs per segment; its materialized rows replace the chain in the
+    full plan. Per-segment Distinct is kept in the chain (idempotent — the
+    merge phase re-deduplicates across segments)."""
+    path = _root_path(plan, big)
+    if path is None:
+        return None
+    top = len(path) - 1
+    for i in range(len(path) - 2, -1, -1):
+        parent, child = path[i], path[i + 1]
+        if isinstance(parent, (L.Filter, L.Project)) and \
+                parent.input is child:
+            top = i
+            continue
+        if isinstance(parent, L.Distinct) and parent.input is child:
+            # per-segment dedup is sound only if the merge re-deduplicates:
+            # the Distinct becomes the chain root (merge wraps pscan in a
+            # fresh Distinct), so stop extending here
+            top = i
+            break
+        if isinstance(parent, L.Join) and parent.left is child and \
+                parent.kind in ("inner", "left", "semi", "anti") and \
+                not _contains_scan(parent.right, big):
+            # probe side streams; build side stays resident (the
+            # HashJoinOperator block-at-a-time probe at segment granularity)
+            top = i
+            continue
+        break
+    root = path[top]
+    if root is path[-1]:
+        return None   # nothing streamable above the scan itself
+    if _has_subquery(root):
+        return None
+    chain = path[top:]
+
+    out_attrs = list(root.output)
+    if len({a.expr_id for a in out_attrs}) != len(out_attrs):
+        return None
+    # partials keep the ORIGINAL expr_ids (the plan above is reused as-is);
+    # names are uniquified for the temp-relation columns
+    partial_attrs = [dataclasses.replace(a, name=f"__r{i}")
+                     for i, a in enumerate(out_attrs)]
+    pscan = L.TableScan(relation_name=PARTIALS_REL,
+                        attrs=[dataclasses.replace(a)
+                               for a in partial_attrs])
+    merge_core: L.LogicalNode = pscan
+    if isinstance(root, L.Distinct):
+        merge_core = L.Distinct(input=pscan)
+    # identity Project restores the original display names (ids unchanged)
+    restore = L.Project(
+        input=merge_core,
+        exprs=[Attr(expr_id=a.expr_id, type=a.type) for a in out_attrs],
+        attrs=[dataclasses.replace(a) for a in out_attrs])
+    merge_plan = _replace_node(plan, root, restore)
+    if merge_plan is plan and root is not plan:
+        return None
+    return _finish_stream_plan(plan, db, big, root, partial_attrs,
+                               merge_plan, chain, sizes, budget)
 
 
 # ---------------------------------------------------------------------

@@ -198,17 +198,25 @@ class Resolver:
             # pending joins introduced by subqueries in the select list
             plan = self._attach_pending_joins(plan, state)
 
+        distinct_map = None
         if stmt.distinct:
             # project then dedup
+            pre_exprs = list(proj_exprs)
             plan = self._make_project(plan, proj_exprs, proj_names)
             plan = L.Distinct(input=plan)
+            # ORDER BY expressions must land on the distinct OUTPUT columns
+            # (pre-projection attrs are gone after dedup): map the original
+            # select expressions' fingerprints to the output attrs
+            distinct_map = {e.key(): a
+                            for e, a in zip(pre_exprs, plan.output)}
             proj_exprs = [_attr_of(a) for a in plan.output]
             proj_names = [a.name for a in plan.output]
 
         # ---- ORDER BY / LIMIT (branch-local even under a set operation) ----
         if stmt.order_by:
             plan = self._resolve_order_by(stmt, plan, proj_exprs, proj_names,
-                                          scope, state)
+                                          scope, state,
+                                          distinct_map=distinct_map)
         else:
             plan = self._make_project(plan, proj_exprs, proj_names)
             if stmt.limit is not None:
@@ -724,7 +732,8 @@ class Resolver:
     # ----------------------------------------------------------------
     def _resolve_order_by(self, stmt: A.SelectStmt, plan: L.LogicalNode,
                           proj_exprs: List[Expr], proj_names: List[str],
-                          scope: Scope, state: ResolveState) -> L.LogicalNode:
+                          scope: Scope, state: ResolveState,
+                          distinct_map=None) -> L.LogicalNode:
         """Project (select items + hidden sort keys) -> Sort -> trim Project."""
         alias_to_idx = {n.lower(): i for i, n in enumerate(proj_names)}
         sort_exprs: List[Expr] = []
@@ -759,6 +768,15 @@ class Resolver:
                     e = self._last_agg_rewriter(ast_e)
                 else:
                     e = self._resolve_expr(ast_e, scope, state)
+                if distinct_map is not None:
+                    hit = distinct_map.get(e.key())
+                    if hit is None and e.key() not in expr_key_to_idx:
+                        raise ResolutionError(
+                            "for SELECT DISTINCT, ORDER BY expressions must "
+                            "appear in the select list",
+                            ast_e.line, ast_e.column)
+                    if hit is not None:
+                        e = _attr_of(hit)
                 k = e.key()
                 if k in expr_key_to_idx:
                     idx = expr_key_to_idx[k]

@@ -78,14 +78,17 @@ def test_streamed_matches_resident(dbs, qi):
 def test_sma_pruning_skips_segments(dbs):
     _, streamed = dbs
     # seq is monotone, so seq < 1000 falls entirely in the first segment(s):
-    # SMA min/max must prune the rest without touching the device
-    streamed.execute("SELECT COUNT(*) FROM big WHERE seq < 1000")
+    # SMA min/max must prune the rest without touching the device.
+    # (COUNT(*) alone only needs the small seq column and runs resident, so
+    # SUM(v) keeps the plan over budget -> streamed.)
+    q = "SELECT COUNT(*), SUM(v) FROM big WHERE seq < 1000"
+    streamed.execute(q)
     info = streamed.executor.last_stream_info
-    assert info["segments_run"] < info["segments"], \
+    assert info is not None and info["segments_run"] < info["segments"], \
         f"no segments pruned: {info}"
     # and the result is still exact
-    r = streamed.execute("SELECT COUNT(*) FROM big WHERE seq < 1000")
-    assert r.rows == [(1000,)]
+    r = streamed.execute(q)
+    assert r.rows[0][0] == 1000
 
 
 def test_streamed_bytes_accounted(dbs):
@@ -94,3 +97,72 @@ def test_streamed_bytes_accounted(dbs):
     info = streamed.executor.last_stream_info
     assert info["bytes_streamed"] > 0
     assert streamed.executor.last_scan_bytes >= info["bytes_streamed"]
+
+
+# ---------------------------------------------------------------------
+# widened coverage: join-only row streaming, DISTINCT decomposition,
+# strict-budget error (round-3)
+# ---------------------------------------------------------------------
+
+ROW_STREAM_QUERIES = [
+    # join-only plan (no aggregate anywhere): probe side streams, rows
+    # materialize per segment, ORDER BY/LIMIT run over the union
+    "SELECT b.seq, d.name FROM big b, dim d WHERE b.k = d.k AND b.g = 0 "
+    "ORDER BY b.seq LIMIT 40",
+    # DISTINCT over a join, no aggregate: per-segment dedup + merge dedup
+    "SELECT DISTINCT d.name, b.g FROM big b, dim d WHERE b.k = d.k "
+    "ORDER BY d.name, b.g",
+    # filter-only plan with no aggregate
+    "SELECT seq, v FROM big WHERE seq < 500 ORDER BY seq LIMIT 20",
+]
+
+
+@pytest.mark.parametrize("qi", range(len(ROW_STREAM_QUERIES)))
+def test_row_streaming_matches_resident(dbs, qi):
+    full, streamed = dbs
+    q = ROW_STREAM_QUERIES[qi]
+    a = full.execute(q).rows
+    b = streamed.execute(q).rows
+    info = streamed.executor.last_stream_info
+    assert info is not None and info["segments"] > 1, \
+        "query did not take the streamed path"
+    assert a == b
+
+
+def test_distinct_aggregate_streams(dbs):
+    full, streamed = dbs
+    q = ("SELECT g, COUNT(DISTINCT k) FROM big GROUP BY g ORDER BY g")
+    a = full.execute(q).rows
+    b = streamed.execute(q).rows
+    info = streamed.executor.last_stream_info
+    assert info is not None and info["segments"] > 1, \
+        "distinct aggregate did not stream"
+    assert a == b
+
+
+def test_build_side_chain_streams(dbs):
+    """big below the BUILD side of a semi join: the Filter->Scan chain under
+    the join streams; the join itself runs once over the (filtered) union."""
+    full, streamed = dbs
+    q = ("SELECT d.name FROM dim d WHERE EXISTS "
+         "(SELECT * FROM big b WHERE d.k = b.k AND b.v > 90.0) "
+         "ORDER BY d.name")
+    a = full.execute(q).rows
+    b = streamed.execute(q).rows
+    info = streamed.executor.last_stream_info
+    assert info is not None and info["segments"] > 1
+    assert a == b
+
+
+def test_strict_budget_errors_on_unstreamable(dbs):
+    _, streamed = dbs
+    streamed.config.strict_hbm_budget = True
+    try:
+        # big scanned twice (self-join): the second resident scan would blow
+        # the budget, so no streamable shape exists -> documented error
+        with pytest.raises(Exception, match="streamable"):
+            streamed.execute(
+                "SELECT COUNT(*) FROM big b1, big b2 "
+                "WHERE b1.seq = b2.seq AND b1.v < 1.0")
+    finally:
+        streamed.config.strict_hbm_budget = False
