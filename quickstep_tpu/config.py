@@ -39,6 +39,12 @@ class Config:
     # --- distributed execution (GSPMD over the device mesh) ---
     distributed: bool = False           # shard base tables over jax.devices()
     replicate_threshold_rows: int = 65536   # tables smaller than this replicate
+    # Shuffle-join exchange/compute overlap: the probe side splits into this
+    # many independent slices, each with its own all_to_all + local join, so
+    # XLA's latency-hiding scheduler overlaps chunk i+1's collective with
+    # chunk i's join compute (the InsertDestination pipelining analog). 1 =
+    # single synchronous exchange.
+    shuffle_overlap_chunks: int = 2
     # --- TPU-native knobs ---
     row_capacity_bucket: int = 1024     # pad row counts to multiples of this (min bucket)
     geometric_buckets: bool = True      # bucket capacities at powers of two above the min

