@@ -54,6 +54,10 @@ class JoinOverride:
 
 
 class PlanRunner:
+    # trace-time record of the most recent shuffle-join configuration
+    # (chunking, LIP filter size, bucket rows) — see _shuffle_join
+    trace_shuffle_info: Optional[dict] = None
+
     def __init__(self, plan: L.LogicalNode, inputs: Dict[str, Dict[str, object]],
                  input_meta: Dict[str, dict], config: Config,
                  overrides: Optional[Dict[int, JoinOverride]] = None,
@@ -745,8 +749,49 @@ class PlanRunner:
         if chunks > 1 and Lp % chunks != 0:
             chunks = 1
         Lc = Lp // chunks
-        bp_c = factor * max(8, -(-2 * Lc // n))
+
+        # Pre-shuffle LIP filter (distributed AttachLIPFilters analog,
+        # query_optimizer/rules/AttachLIPFilters.hpp:55 +
+        # utility/lip_filter/SingleIdentityHashFilter.hpp:55): a one-hash
+        # bloom bitmap over the build side's keys is all-reduced across the
+        # mesh BEFORE the probe exchange, and probe rows that cannot match
+        # are dropped pre-bucketing. For selective builds the probe bucket
+        # caps shrink with the estimated pass rate (overflow-retry escalates
+        # if the estimate was wrong), cutting actual ICI exchange bytes.
+        # Only inner/semi joins may drop probe rows (left/anti must surface
+        # non-matching rows).
+        use_lip = (self.config.use_lip_filters and
+                   node.kind in ("inner", "semi"))
+        lip_bits = 0
+        sel = 1.0
+        if use_lip:
+            lip_bits = K.next_pow2(
+                int(min(max(4 * build.capacity, 1024), 1 << 22)))
+            branges = self._key_ranges(node.right_keys, build)
+            pranges = self._key_ranges(node.left_keys, probe)
+            if len(branges) == 1 and branges[0] is not None and \
+                    pranges[0] is not None:
+                blo, bhi = branges[0]
+                plo, phi = pranges[0]
+                olo, ohi = max(blo, plo), min(bhi, phi)
+                if ohi < olo:
+                    sel = 0.0
+                else:
+                    inside = (ohi - olo + 1) / max(phi - plo + 1, 1)
+                    hit = min(1.0, build.capacity / max(bhi - blo + 1, 1))
+                    sel = inside * hit
+            # conservative floor: a wrong estimate costs an overflow-retry
+            # recompile, so never shrink below 1/8 of the unfiltered cap
+            sel = max(min(sel, 1.0), 0.125)
+        bp_c = factor * max(8, -(-int(2 * Lc * sel) // n))
         recv_p_c = n * bp_c
+        self.last_shuffle_info = {
+            "chunks": chunks, "lip_bits": lip_bits,
+            "probe_bucket_rows": chunks * recv_p_c,
+            "build_bucket_rows": recv_b, "sel_est": round(sel, 4)}
+        # trace-time breadcrumb for \explain_analyze and tests (the runner
+        # itself lives only inside the jit trace)
+        type(self).trace_shuffle_info = dict(self.last_shuffle_info)
 
         idx = self.node_index[id(node)]
         static_out = {}
@@ -781,6 +826,15 @@ class PlanRunner:
 
             bk_loc, build_loc = rebuild(build, b_layout, b_ex, b_alive, recv_b)
 
+            lip = None
+            if use_lip:
+                from quickstep_tpu.ops.kernels import hash64 as _h64
+                local_bits = jnp.zeros((lip_bits,), jnp.int32).at[
+                    (_h64(bk.astype(jnp.int64)) &
+                     jnp.uint64(lip_bits - 1)).astype(jnp.int32)].add(
+                    b_alive_in.astype(jnp.int32), mode="drop")
+                lip = jax.lax.psum(local_bits, axis) > 0
+
             over = b_over
             chunk_flags = {}
             out_chunks = []
@@ -790,8 +844,14 @@ class PlanRunner:
                 sl = slice(ci * Lcl, (ci + 1) * Lcl)
                 pk_c = pk[sl]
                 pay_c = [x[sl] for x in p_pay]
+                alive_c = p_alive_in[sl]
+                if lip is not None:
+                    from quickstep_tpu.ops.kernels import hash64 as _h64
+                    alive_c = alive_c & lip[
+                        (_h64(pk_c.astype(jnp.int64)) &
+                         jnp.uint64(lip_bits - 1)).astype(jnp.int32)]
                 p_ex, p_alive, p_over = SH.radix_exchange(
-                    pk_c, [pk_c] + pay_c, p_alive_in[sl], n, axis, bp_c,
+                    pk_c, [pk_c] + pay_c, alive_c, n, axis, bp_c,
                     salt=salt, probe_side=True)
                 pk_loc, probe_loc = rebuild(probe, p_layout, p_ex, p_alive,
                                             recv_p_c)

@@ -147,3 +147,30 @@ def test_overlap_chunked_matches_sync(meshes):
     assert any(k.startswith("shuffle_overflow")
                for k in over.executor.last_flags)
     assert a == b
+
+
+def test_preshuffle_lip_filter_shrinks_exchange(meshes):
+    """Distributed AttachLIPFilters analog: a build-side bloom probed BEFORE
+    the all_to_all lets a selective join ship smaller probe buckets (fewer
+    exchanged bytes), with identical rows."""
+    from quickstep_tpu.exec.runner import PlanRunner
+    # probe keys span 0..9999 but the build side only covers 0..99: the
+    # range-based pass estimate is ~1%, floored to 1/8 of the sync cap
+    rows_l = _pairs(12, 4000, 10000)
+    rows_r = [(k, k * 2) for k in range(100)]
+    sql = "SELECT lt.v, rt.w FROM lt, rt WHERE lt.k = rt.k"
+
+    base = _mk(True)
+    base.config.use_lip_filters = False
+    _fill(base, rows_l, rows_r)
+    a = sorted(base.execute(sql).rows)
+    rows_nofilter = PlanRunner.trace_shuffle_info["probe_bucket_rows"]
+    assert PlanRunner.trace_shuffle_info["lip_bits"] == 0
+
+    lip = _mk(True)
+    _fill(lip, rows_l, rows_r)
+    b = sorted(lip.execute(sql).rows)
+    info = PlanRunner.trace_shuffle_info
+    assert info["lip_bits"] > 0
+    assert info["probe_bucket_rows"] < rows_nofilter, info
+    assert a == b
