@@ -51,6 +51,10 @@ class Executor:
         self.last_attempts = 0
         self._sort_programs: Dict[tuple, object] = {}
         self.last_sort_path: Optional[str] = None
+        # bound the per-plan caches: DML bumps table versions and strands old
+        # entries, so long-lived multi-query sessions would otherwise leak
+        # (dicts are insertion-ordered -> FIFO eviction of the oldest plan)
+        self._plan_cache_limit = 256
         self.mesh = None
         from quickstep_tpu.storage.eviction import make_policy
         self._eviction = make_policy(config.eviction_policy,
@@ -211,6 +215,9 @@ class Executor:
             retry = self._check_flags(device_plan, flags, overrides)
             if not retry:
                 break
+            while len(self._learned_overrides) >= self._plan_cache_limit:
+                self._learned_overrides.pop(
+                    next(iter(self._learned_overrides)))
             self._learned_overrides[learn_key] = {
                 k: dataclasses.replace(v) for k, v in overrides.items()}
         else:
@@ -434,6 +441,8 @@ class Executor:
                                                          rep)
                 return datas, valids, sliced, count, dict(runner.flags)
             cached = jax.jit(fn)
+            while len(self._compile_cache) >= self._plan_cache_limit:
+                self._compile_cache.pop(next(iter(self._compile_cache)))
             self._compile_cache[fp] = cached
         t0 = time.perf_counter()
         datas, valids, sliced, count, flags = cached(inputs)
@@ -621,6 +630,8 @@ class Executor:
                 body = sorted_ops[len(key_ops):]
                 return tuple(x[:k_out] for x in body)
             fn = jax.jit(sort_fn)
+            while len(self._sort_programs) >= self._plan_cache_limit:
+                self._sort_programs.pop(next(iter(self._sort_programs)))
             self._sort_programs[sig] = fn
         ds = [jnp.asarray(d)[:m] for d in datas]
         vs = [None if v is None else jnp.asarray(v)[:m] for v in valids]
