@@ -56,6 +56,12 @@ class Config:
     direct_join_domain_limit: int = 1 << 27   # <=536MB int32 table (SF10 orderkey=60M)
     direct_join_density: float = 16.0         # domain <= density * build rows
     join_output_factor: float = 1.5     # capacity estimate multiplier for many-many joins
+    # Pre-join dynamic compaction: each join side compacts to
+    # join_compact_factor x its cost-model estimate so join gathers run at
+    # the filtered size, not the padded capacity. Under-estimates trip an
+    # overflow flag and re-run uncompacted (kOutOfSpace retry analog).
+    join_compaction: bool = True
+    join_compact_factor: float = 4.0
     # Presentation ORDER BY: results with at least this many rows sort on
     # device (payload-carrying lax.sort + top-limit slice; only presented rows
     # cross the host link). Smaller results use the host lexsort, which avoids

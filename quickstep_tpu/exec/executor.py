@@ -485,7 +485,19 @@ class Executor:
             kind, node_id = key.rsplit("_", 1)
             node_id = int(node_id)
             if kind == "join_dup":
-                overrides[node_id] = JoinOverride(strategy="expand")
+                prev = overrides.get(node_id) or JoinOverride()
+                prev.strategy = "expand"
+                overrides[node_id] = prev
+                retry = True
+            elif kind in ("compact_probe", "compact_build"):
+                # pre-join compaction under-estimated the live rows: re-run
+                # this node at full capacity (learned for future executions)
+                prev = overrides.get(node_id) or JoinOverride()
+                if kind == "compact_probe":
+                    prev.no_compact_probe = True
+                else:
+                    prev.no_compact_build = True
+                overrides[node_id] = prev
                 retry = True
             elif kind == "join_overflow":
                 prev = overrides.get(node_id) or JoinOverride(strategy="expand")

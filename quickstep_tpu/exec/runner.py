@@ -51,6 +51,8 @@ class JoinOverride:
     strategy: Optional[str] = None    # force 'expand'
     max_matches: Optional[int] = None
     shuffle_factor: int = 1           # bucket-capacity escalation on shuffle overflow
+    no_compact_probe: bool = False    # estimate-driven pre-join compaction
+    no_compact_build: bool = False    # overflowed: run at full capacity
 
 
 class PlanRunner:
@@ -558,6 +560,21 @@ class PlanRunner:
             return self._nested_loops_join(node)
         probe = self._squeeze(self.exec(node.left))
         build = self._squeeze(self.exec(node.right))
+        # Estimate-driven dynamic compaction (the reference's
+        # InsertDestination effect — blocks after a filter hold only matching
+        # tuples, so joins probe the reduced set): compact each side to ~4x
+        # its cost-model estimate before any join gather; an under-estimate
+        # raises a flag and the standard retry loop re-runs uncompacted.
+        idx0 = self.node_index[id(node)]
+        ov0 = self.overrides.get(idx0)
+        probe = self._est_compact(
+            probe, getattr(node, "est_left_rows", None),
+            ov0 is not None and ov0.no_compact_probe,
+            f"compact_probe_{idx0}")
+        build = self._est_compact(
+            build, getattr(node, "est_right_rows", None),
+            ov0 is not None and ov0.no_compact_build,
+            f"compact_build_{idx0}")
         for e in node.left_keys + node.right_keys:
             self._bind_subqueries(e)
 
@@ -1322,6 +1339,29 @@ class PlanRunner:
                 # escalate (learned thereafter)
                 return max(1, min(k, 256))
         return 8
+
+    def _est_compact(self, chunk: Chunk, est, disabled: bool,
+                     flag_key: str) -> Chunk:
+        """Compact a join input to ~join_compact_factor x its cost-model
+        estimate. Sound via the retry protocol: if the live count exceeds the
+        target, rows would be dropped — the flag forces a re-run with
+        compaction disabled for this node (and the learned-override cache
+        remembers). Skipped under a mesh (rows are sharded) and when the
+        estimate buys no real reduction."""
+        if disabled or est is None or self.mesh is not None or \
+                not self.config.join_compaction:
+            return chunk
+        if chunk.capacity <= 4096:
+            return chunk
+        target = max(K.next_pow2(
+            int(self.config.join_compact_factor * est) + 1), 1024)
+        if chunk.bound is not None:
+            target = min(target, K.next_pow2(chunk.bound))
+        if target * 2 >= chunk.capacity:
+            return chunk
+        live = jnp.sum(chunk.alive.astype(jnp.int32))
+        self.flags[flag_key] = live > target
+        return self._compact_chunk(chunk, target)
 
     def _compact_chunk(self, chunk: Chunk, target: int) -> Chunk:
         """Gather live rows into a smaller static capacity (sound only when

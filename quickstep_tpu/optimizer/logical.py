@@ -137,6 +137,11 @@ class Join(LogicalNode):
     # operand never passes, and NOT IN passes nothing when the inner side
     # contains a NULL (unless empty)
     null_aware: bool = False
+    # cost-model cardinality estimates (rules._annotate_join_estimates):
+    # drive pre-join dynamic compaction so join gathers run at the estimated
+    # live size, not the full padded capacity
+    est_left_rows: Optional[float] = None
+    est_right_rows: Optional[float] = None
 
     @property
     def output(self):

@@ -36,6 +36,8 @@ from quickstep_tpu.optimizer import logical as L
 class AttrStats:
     ndv: Optional[float] = None
     n: Optional[float] = None
+    lo: Optional[float] = None    # column min (device encoding)
+    hi: Optional[float] = None    # column max
 
 
 def collect_attr_stats(plan: L.LogicalNode, db) -> Dict[int, AttrStats]:
@@ -47,10 +49,15 @@ def collect_attr_stats(plan: L.LogicalNode, db) -> Dict[int, AttrStats]:
             st = rel.statistics if rel is not None else None
             n = rel.num_tuples if rel is not None else None
             for a in node.attrs:
-                ndv = None
+                ndv = lo = hi = None
                 if st is not None and st.exact:
                     ndv = st.num_distinct.get(a.name)
-                env[a.expr_id] = AttrStats(ndv=ndv, n=n)
+                    mn = st.min_values.get(a.name)
+                    mx = st.max_values.get(a.name)
+                    if isinstance(mn, (int, float)) and \
+                            isinstance(mx, (int, float)):
+                        lo, hi = float(mn), float(mx)
+                env[a.expr_id] = AttrStats(ndv=ndv, n=n, lo=lo, hi=hi)
         if isinstance(node, L.SharedSubplan):
             walk(node.plan)
             for fresh, orig in zip(node.attrs, node.plan.output):
@@ -80,10 +87,7 @@ def estimate_selectivity(pred: Optional[Expr],
         return 1.0
     if isinstance(pred, Logical):
         if pred.op == "AND":
-            s = 1.0
-            for o in pred.operands:
-                s *= estimate_selectivity(o, env)
-            return s
+            return _and_selectivity(pred.operands, env)
         s = 0.0
         for o in pred.operands:
             s += estimate_selectivity(o, env)
@@ -100,6 +104,23 @@ def estimate_selectivity(pred: Optional[Expr],
             return 0.1
         if pred.op == "<>":
             return 0.9
+        # range comparison vs a literal: interpolate within [min, max]
+        # (DATE codes are order-preserving, so this covers date windows too)
+        attr, lit, op = None, None, pred.op
+        if isinstance(pred.lhs, Attr) and isinstance(pred.rhs, Lit):
+            attr, lit = pred.lhs, pred.rhs
+        elif isinstance(pred.rhs, Attr) and isinstance(pred.lhs, Lit):
+            attr, lit = pred.rhs, pred.lhs
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+        if attr is not None and isinstance(lit.value, (int, float)):
+            st = env.get(attr.expr_id)
+            if st and st.lo is not None and st.hi is not None and \
+                    st.hi > st.lo:
+                frac = (float(lit.value) - st.lo) / (st.hi - st.lo)
+                frac = min(max(frac, 0.0), 1.0)
+                if op in (">", ">="):
+                    frac = 1.0 - frac
+                return min(max(frac, 0.001), 1.0)
         return 0.3
     if isinstance(pred, DictBitmapProbe):
         bm = np.asarray(pred.bitmap)
@@ -115,6 +136,52 @@ def estimate_selectivity(pred: Optional[Expr],
             return 0.0
         return 1.0
     return 0.5
+
+
+def _range_conjunct(pred):
+    """(attr_id, op, value) for a range comparison vs a numeric literal."""
+    if not isinstance(pred, Cmp) or pred.op in ("=", "<>"):
+        return None
+    if isinstance(pred.lhs, Attr) and isinstance(pred.rhs, Lit):
+        attr, lit, op = pred.lhs, pred.rhs, pred.op
+    elif isinstance(pred.rhs, Attr) and isinstance(pred.lhs, Lit):
+        attr, lit = pred.rhs, pred.lhs
+        op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[pred.op]
+    else:
+        return None
+    if not isinstance(lit.value, (int, float)):
+        return None
+    return attr.expr_id, op, float(lit.value)
+
+
+def _and_selectivity(operands, env) -> float:
+    """AND selectivity with per-attribute interval intersection: a window
+    like `d >= a AND d < b` estimates as (b-a)/(hi-lo), not as the product of
+    two one-sided fractions (which wildly over-estimates narrow windows)."""
+    intervals: Dict[int, List[float]] = {}
+    others = []
+    for o in operands:
+        r = _range_conjunct(o)
+        if r is not None:
+            attr_id, op, v = r
+            st = env.get(attr_id)
+            if st and st.lo is not None and st.hi is not None and \
+                    st.hi > st.lo:
+                lb, ub = intervals.setdefault(attr_id, [st.lo, st.hi])
+                if op in ("<", "<="):
+                    intervals[attr_id][1] = min(ub, v)
+                else:
+                    intervals[attr_id][0] = max(lb, v)
+                continue
+        others.append(o)
+    s = 1.0
+    for attr_id, (lb, ub) in intervals.items():
+        st = env[attr_id]
+        frac = (ub - lb) / (st.hi - st.lo)
+        s *= min(max(frac, 0.001), 1.0)
+    for o in others:
+        s *= estimate_selectivity(o, env)
+    return s
 
 
 def estimate_cardinality(plan: L.LogicalNode, db,
@@ -251,7 +318,26 @@ def optimize_plan(plan: L.LogicalNode, config: Config, db) -> L.LogicalNode:
         plan = _reorder_joins(plan, db, env)
     plan = _order_conjuncts(plan, env)
     plan = _prune_columns(plan)
+    _annotate_join_estimates(plan, db, env)
     return plan
+
+
+def _annotate_join_estimates(node: L.LogicalNode, db, env) -> None:
+    """Stamp each Join with cost-model cardinality estimates of its inputs.
+    The runner compacts a join side down to ~4x its estimate before probing,
+    so selective filters shrink every downstream gather (the reference's
+    blocks-only-hold-matching-tuples effect); a wrong estimate trips an
+    overflow flag and the standard retry loop."""
+    for c in node.children():
+        _annotate_join_estimates(c, db, env)
+    if isinstance(node, L.Join):
+        try:
+            node.est_left_rows = float(estimate_cardinality(node.left, db,
+                                                            env))
+            node.est_right_rows = float(estimate_cardinality(node.right, db,
+                                                             env))
+        except Exception:
+            pass
 
 
 def _order_conjuncts(node: L.LogicalNode, env) -> L.LogicalNode:
