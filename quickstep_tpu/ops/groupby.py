@@ -27,7 +27,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from quickstep_tpu.ops.kernels import max_sentinel, min_sentinel
+from quickstep_tpu.ops.kernels import max_sentinel, min_sentinel, multi_gather
 
 AggIn = Tuple[str, Optional[object], Optional[object]]  # (fn, vals, valid)
 
@@ -267,37 +267,77 @@ def sort_groupby(key_cols: List[jnp.ndarray],
     nxt_alive = jnp.roll(s_alive, -1)
     last = s_alive & ((iota == capacity - 1) | nxt_change | ~nxt_alive)
 
-    def seg_scan(contrib, combine):
-        """Segmented inclusive scan; value at each segment's last row is the
-        full-segment reduction."""
-        def op(a, b):
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf, bv, combine(av, bv)), af | bf
-        out, _ = jax.lax.associative_scan(op, (contrib, change))
-        return out
+    # Segmented reductions WITHOUT jax.lax.associative_scan: the generic
+    # scan's custom combine explodes the XLA:TPU compile (measured: an
+    # 8M-row associative_scan compiles for hours while cumsum/cummax/sort
+    # compile in minutes). Instead:
+    #   SUM/COUNT — native prefix cumsum; the per-segment total at each row
+    #     is S[row] - S[segment_start - 1], with the base fetched by ONE
+    #     row-packed gather at the (monotone, cummax-filled) segment starts.
+    #     Exact for integer/decimal sums; f64 sums lose only difference-of-
+    #     prefix rounding (~1e-11 rel at 8M rows), inside oracle tolerance.
+    #   MIN/MAX — scatter-min/max into per-segment slots by segment id
+    #     (cumsum of boundary flags), read back through the same gather.
+    sid = jnp.cumsum(change.astype(jnp.int32)) - 1          # segment index
+    seg_start = jax.lax.cummax(jnp.where(change, iota, -1))  # start row idx
+    base_idx = jnp.clip(seg_start - 1, 0, capacity - 1)
+    first_seg = seg_start <= 0
+    sid_safe = jnp.clip(sid, 0, capacity - 1)
 
-    results = []
+    prefix_ops = []   # arrays to gather at base_idx
+    slot_ops = []     # arrays to gather at sid_safe
+    plan_ops = []     # (fn-kind, indices into the op lists)
+
+    def seg_sum(contrib):
+        S = jnp.cumsum(contrib)
+        prefix_ops.append(S)
+        return S, len(prefix_ops) - 1
+
     for (fn, vals, valid), (vpos, vdpos) in zip(agg_specs, agg_slots):
         sv = sp(vpos, vals) if vals is not None else None
         svalid = sp(vdpos, valid) if valid is not None else None
         live = s_alive if svalid is None else (s_alive & svalid)
-        nn = seg_scan(live.astype(jnp.int32), jnp.add).astype(jnp.int64)
+        Snn, nn_i = seg_sum(live.astype(jnp.int64))
+        if fn == "count":
+            plan_ops.append(("count", Snn, nn_i, None, None))
+        elif fn in ("sum", "avg"):
+            contrib = jnp.where(live, sv, jnp.zeros((), sv.dtype))
+            Sv, v_i = seg_sum(contrib)
+            plan_ops.append((fn, Snn, nn_i, Sv, v_i))
+        elif fn in ("min", "max"):
+            if fn == "min":
+                contrib = jnp.where(live, sv, max_sentinel(sv.dtype))
+                scat = jnp.full((capacity,), max_sentinel(sv.dtype),
+                                contrib.dtype).at[sid_safe].min(
+                    contrib, mode="drop")
+            else:
+                contrib = jnp.where(live, sv, min_sentinel(sv.dtype))
+                scat = jnp.full((capacity,), min_sentinel(sv.dtype),
+                                contrib.dtype).at[sid_safe].max(
+                    contrib, mode="drop")
+            slot_ops.append(scat)
+            plan_ops.append((fn, Snn, nn_i, None, len(slot_ops) - 1))
+        else:
+            raise ValueError(fn)
+
+    bases = multi_gather(prefix_ops, base_idx) if prefix_ops else []
+    slots_g = multi_gather(slot_ops, sid_safe) if slot_ops else []
+
+    results = []
+    for fn, Snn, nn_i, Sv, aux in plan_ops:
+        nn_base = jnp.where(first_seg, jnp.zeros((), jnp.int64),
+                            bases[nn_i])
+        nn = Snn - nn_base
         if fn == "count":
             data = nn
         elif fn in ("sum", "avg"):
-            contrib = jnp.where(live, sv, jnp.zeros((), sv.dtype))
-            acc = seg_scan(contrib, jnp.add)
+            v_base = jnp.where(first_seg, jnp.zeros((), Sv.dtype),
+                               bases[aux])
+            acc = Sv - v_base
             data = acc if fn == "sum" else \
                 acc.astype(jnp.float64) / jnp.maximum(nn, 1)
-        elif fn == "min":
-            contrib = jnp.where(live, sv, max_sentinel(sv.dtype))
-            data = seg_scan(contrib, jnp.minimum)
-        elif fn == "max":
-            contrib = jnp.where(live, sv, min_sentinel(sv.dtype))
-            data = seg_scan(contrib, jnp.maximum)
-        else:
-            raise ValueError(fn)
+        else:   # min / max: per-segment slot broadcast back to rows
+            data = slots_g[aux]
         results.append((data, nn))
 
     # Group keys: any row of the segment holds the group's key values; the
