@@ -491,13 +491,22 @@ class Executor:
                 retry = True
             elif kind in ("compact_probe", "compact_build"):
                 # pre-join compaction under-estimated the live rows: re-run
-                # this node at full capacity (learned for future executions)
+                # this node at full capacity (learned for future executions).
+                # A SECOND compaction overflow in the same plan means the
+                # estimate chain is systematically off — disable compaction
+                # for the whole plan (override id -1) instead of paying one
+                # expensive retry per join.
+                already = any(v.no_compact_probe or v.no_compact_build
+                              for v in overrides.values())
                 prev = overrides.get(node_id) or JoinOverride()
                 if kind == "compact_probe":
                     prev.no_compact_probe = True
                 else:
                     prev.no_compact_build = True
                 overrides[node_id] = prev
+                if already:
+                    overrides[-1] = JoinOverride(no_compact_probe=True,
+                                                 no_compact_build=True)
                 retry = True
             elif kind == "join_overflow":
                 prev = overrides.get(node_id) or JoinOverride(strategy="expand")

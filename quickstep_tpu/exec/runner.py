@@ -567,13 +567,16 @@ class PlanRunner:
         # raises a flag and the standard retry loop re-runs uncompacted.
         idx0 = self.node_index[id(node)]
         ov0 = self.overrides.get(idx0)
+        ovg = self.overrides.get(-1)   # plan-wide compaction kill switch
         probe = self._est_compact(
             probe, getattr(node, "est_left_rows", None),
-            ov0 is not None and ov0.no_compact_probe,
+            (ov0 is not None and ov0.no_compact_probe) or
+            (ovg is not None and ovg.no_compact_probe),
             f"compact_probe_{idx0}")
         build = self._est_compact(
             build, getattr(node, "est_right_rows", None),
-            ov0 is not None and ov0.no_compact_build,
+            (ov0 is not None and ov0.no_compact_build) or
+            (ovg is not None and ovg.no_compact_build),
             f"compact_build_{idx0}")
         for e in node.left_keys + node.right_keys:
             self._bind_subqueries(e)

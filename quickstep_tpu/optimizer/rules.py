@@ -138,6 +138,39 @@ def estimate_selectivity(pred: Optional[Expr],
     return 0.5
 
 
+def _unique_build_base_rows(node, right_keys, db):
+    """If the build subtree is Filter/Project over a TableScan whose relation
+    is unique on the join-key columns (single unique column or a recorded
+    unique pair), return the base relation's row count; else None."""
+    while isinstance(node, (L.Filter, L.Project)):
+        node = node.input
+    if not isinstance(node, L.TableScan):
+        return None
+    rel = db.get_relation(node.relation_name)
+    if rel is None:
+        return None
+    by_id = {a.expr_id: a.name for a in node.attrs}
+    names = []
+    for k in right_keys:
+        if not isinstance(k, Attr) or k.expr_id not in by_id:
+            return None
+        names.append(by_id[k.expr_id])
+    st = rel.statistics
+    for name in names:
+        attr = rel.attribute_by_name(name)
+        if attr is not None and attr.unique:
+            return float(rel.num_tuples)
+        if st is not None and st.exact and st.num_tuples and \
+                st.num_distinct.get(name) == st.num_tuples:
+            return float(rel.num_tuples)
+    if st is not None and st.exact and len(names) >= 2:
+        key = set(names)
+        for pair in getattr(st, "unique_pairs", []):
+            if set(pair) <= key:
+                return float(rel.num_tuples)
+    return None
+
+
 def _range_conjunct(pred):
     """(attr_id, op, value) for a range comparison vs a numeric literal."""
     if not isinstance(pred, Cmp) or pred.op in ("=", "<>"):
@@ -217,16 +250,28 @@ def estimate_cardinality(plan: L.LogicalNode, db,
             return cl * cr
         if plan.kind in ("semi", "anti"):
             return cl * 0.5
-        ndv = 1.0
-        for lk, rk in zip(plan.left_keys, plan.right_keys):
-            d = 1.0
-            for side in (lk, rk):
-                if isinstance(side, Attr):
-                    st = env.get(side.expr_id)
-                    if st and st.ndv:
-                        d = max(d, st.ndv)
-            ndv *= max(d, 1.0)
-        out = cl * cr / max(ndv, 1.0)
+        # FK-style joins: when the build side is UNIQUE on the join keys
+        # (PK), each probe row matches at most once, and under containment
+        # the match rate is the fraction of the build relation retained by
+        # its filters — out = cl * cr / |base|. The generic
+        # product-of-per-key-ndv divisor catastrophically over-divides
+        # composite keys (ndv(a)*ndv(b) >> ndv(a,b) for a composite PK).
+        ub = _unique_build_base_rows(plan.right, plan.right_keys, db)
+        if ub is not None and ub > 0:
+            out = cl * min(1.0, cr / ub)
+        else:
+            ndv = 1.0
+            for lk, rk in zip(plan.left_keys, plan.right_keys):
+                d = 1.0
+                for side in (lk, rk):
+                    if isinstance(side, Attr):
+                        st = env.get(side.expr_id)
+                        if st and st.ndv:
+                            d = max(d, st.ndv)
+                ndv *= max(d, 1.0)
+            # a composite key's ndv cannot exceed either side's row count
+            ndv = min(ndv, max(cl, cr, 1.0))
+            out = cl * cr / max(ndv, 1.0)
         if plan.kind == "left":
             out = max(out, cl)
         return max(out, 1.0)
