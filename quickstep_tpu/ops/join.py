@@ -46,7 +46,13 @@ def direct_build(key: jnp.ndarray, alive: jnp.ndarray, lo: int, domain: int):
     in_dom = alive & (idx >= 0) & (idx < domain)
     idx = jnp.where(in_dom, idx, domain)
     rows = jnp.arange(key.shape[0], dtype=jnp.int32)
-    table = jnp.full((domain,), -1, jnp.int32).at[idx].set(rows, mode="drop")
+    # unique_indices: the planner picks this path for unique build keys, and
+    # TPU scatters without the flag take a serialized collision-safe path
+    # (~125ns/row measured). If keys are unexpectedly duplicated the winner
+    # is unspecified, but the read-back below still raises the dup flag and
+    # the executor retries on the expansion path.
+    table = jnp.full((domain,), -1, jnp.int32).at[idx].set(
+        rows, mode="drop", unique_indices=True)
     # duplicate detection without a colliding scatter: a row that lost its slot
     # reads back a different winner
     read_back = table[jnp.clip(idx, 0, domain - 1)]
