@@ -1023,7 +1023,7 @@ class PlanRunner:
                 if okey in self.flags else rev_over
             bmatched = jnp.zeros((build.capacity,), bool)
             for k in range(kmax):
-                pidx = rows[:, k]
+                pidx = rows[k::kmax]   # rows is flat row-major [n*K]
                 okk = pidx >= 0
                 if hashed:
                     okk = self._verify_keys(pidx, okk, bk_data, pk_data)
@@ -1176,7 +1176,7 @@ class PlanRunner:
             else:
                 any_match = jnp.zeros((probe.capacity,), bool)
                 for k in range(max_matches):
-                    bidx = rows[:, k]
+                    bidx = rows[k::max_matches]   # flat row-major [n*K]
                     ok = bidx >= 0
                     if hashed:  # hash-packed: candidates need key verification
                         ok = self._verify_keys(bidx, ok, pk_data, bk_data)
@@ -1191,7 +1191,7 @@ class PlanRunner:
 
         # inner/left expansion: output capacity = probe capacity * K, flattened
         cap = probe.capacity * max_matches
-        bidx = rows.reshape(-1)
+        bidx = rows   # already flat row-major [n*K]
         ok = bidx >= 0
         if hashed:  # hash-packed candidates can collide: verify actual keys
             ok = self._verify_keys(bidx, ok, pk_data, bk_data,
@@ -1234,9 +1234,12 @@ class PlanRunner:
         if node.kind == "left":
             # ON-clause semantics: a probe row is matched only when some
             # key-matched candidate ALSO passes the residual; otherwise it is
-            # kept once (k == 0 slot) with a null build side
-            has_match = out.alive.reshape(probe.capacity, max_matches).any(
-                axis=1)
+            # kept once (k == 0 slot) with a null build side.
+            # Strided ORs instead of a [n, K] reshape: 2-D arrays with a
+            # small last dim are lane-padded to 128 by the TPU tiling.
+            has_match = out.alive[0::max_matches]
+            for k in range(1, max_matches):
+                has_match = has_match | out.alive[k::max_matches]
             first_slot = (jnp.arange(cap) % max_matches) == 0
             unmatched = jnp.repeat(probe.alive & ~has_match, max_matches) & \
                 first_slot

@@ -190,13 +190,17 @@ def expand_probe(sorted_key: jnp.ndarray, order: jnp.ndarray,
                  probe_key: jnp.ndarray, alive: jnp.ndarray,
                  max_matches: int):
     """For each probe row, the run [start, end) of equal build keys; returns
-    (build_rows [n, K] int32 (-1 pads), match_counts [n])."""
+    (build_rows int32[n*K] flat, row-major (-1 pads), match_counts [n]).
+
+    All intermediates stay 1-D: a 2-D [n, K<128] int32 would be lane-padded
+    to [n, 128] by the TPU tiling — 34GB for a 67M-row probe at SF10."""
+    n = probe_key.shape[0]
     start = jnp.searchsorted(sorted_key, probe_key, side="left")
     end = jnp.searchsorted(sorted_key, probe_key, side="right")
     count = jnp.where(alive, end - start, 0)
-    k = jnp.arange(max_matches, dtype=jnp.int32)
-    pos = start[:, None] + k[None, :]
-    ok = k[None, :] < count[:, None]
+    k_r = jnp.arange(n * max_matches, dtype=jnp.int32) % max_matches
+    pos = jnp.repeat(start.astype(jnp.int32), max_matches) + k_r
+    ok = k_r < jnp.repeat(count.astype(jnp.int32), max_matches)
     safe = jnp.clip(pos, 0, sorted_key.shape[0] - 1)
     rows = jnp.where(ok, order[safe].astype(jnp.int32), -1)
     return rows, count

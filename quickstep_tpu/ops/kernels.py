@@ -87,10 +87,14 @@ def multi_gather(cols: List[Optional[jnp.ndarray]], idx: jnp.ndarray):
             i = idxs[0]
             out[i] = cols[i][idx]
             continue
-        packed = jnp.stack([_to_lane(cols[i], lane) for i in idxs], axis=1)
-        g = packed[idx]  # [m, k] one row gather per lane group
+        # Stack along axis 0 ([k, n], gather axis 1): TPU (8,128) tiling pads
+        # the LAST dim to 128 lanes, so a [n, k<128] pack would allocate
+        # 128/k times the bytes (34GB for one int32 column at 67M rows); the
+        # [k, n] layout only pads k up to 8 sublanes.
+        packed = jnp.stack([_to_lane(cols[i], lane) for i in idxs], axis=0)
+        g = jnp.take(packed, idx, axis=1)   # [k, m]
         for j, i in enumerate(idxs):
-            out[i] = _from_lane(g[:, j], cols[i].dtype)
+            out[i] = _from_lane(g[j, :], cols[i].dtype)
     return out
 
 

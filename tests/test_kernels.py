@@ -78,7 +78,8 @@ def test_expand_join():
     rows, counts = J.expand_probe(skey, order, jnp.asarray([3, 2, 7]),
                                   jnp.ones(3, bool), 4)
     assert list(np.asarray(counts)) == [3, 1, 0]
-    got = sorted(int(r) for r in np.asarray(rows)[0] if r >= 0)
+    # rows is flat row-major [n*K] (1-D to dodge TPU lane padding)
+    got = sorted(int(r) for r in np.asarray(rows).reshape(3, 4)[0] if r >= 0)
     assert got == [0, 2, 3]
 
 
