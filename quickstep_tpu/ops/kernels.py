@@ -82,19 +82,24 @@ def multi_gather(cols: List[Optional[jnp.ndarray]], idx: jnp.ndarray):
         if c is None:
             continue
         groups.setdefault(_lane_dtype(c.dtype), []).append(i)
+    # TPU (8,128) tiling pads a 2-D pack's minor dim to 128 lanes (and XLA's
+    # gather canonicalization transposes [k, n] packs right back), so a row
+    # pack at large n allocates 128/k times its logical bytes — 34GB for one
+    # int32 column at SF10's 67M rows. Cap the padded size; above it, issue
+    # plain per-column 1-D gathers (no padding, k passes).
+    PACK_PAD_LIMIT = 1 << 30
+    n_src = next((c.shape[0] for c in cols if c is not None), 0)
+    m_idx = idx.shape[0]
     for lane, idxs in groups.items():
-        if len(idxs) == 1:
-            i = idxs[0]
-            out[i] = cols[i][idx]
+        padded = max(n_src, m_idx) * 128 * jnp.dtype(lane).itemsize
+        if len(idxs) == 1 or padded > PACK_PAD_LIMIT:
+            for i in idxs:
+                out[i] = cols[i][idx]
             continue
-        # Stack along axis 0 ([k, n], gather axis 1): TPU (8,128) tiling pads
-        # the LAST dim to 128 lanes, so a [n, k<128] pack would allocate
-        # 128/k times the bytes (34GB for one int32 column at 67M rows); the
-        # [k, n] layout only pads k up to 8 sublanes.
-        packed = jnp.stack([_to_lane(cols[i], lane) for i in idxs], axis=0)
-        g = jnp.take(packed, idx, axis=1)   # [k, m]
+        packed = jnp.stack([_to_lane(cols[i], lane) for i in idxs], axis=1)
+        g = packed[idx]  # [m, k] one row gather per lane group
         for j, i in enumerate(idxs):
-            out[i] = _from_lane(g[j, :], cols[i].dtype)
+            out[i] = _from_lane(g[:, j], cols[i].dtype)
     return out
 
 
