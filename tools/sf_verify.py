@@ -70,12 +70,26 @@ def main():
         else os.path.join(REPO, f"SF{sf:g}_VERIFY.json")
     with open(oracle_path) as f:
         oracle = json.load(f)["results"]
+    qlist = sorted(TPCH_QUERIES)
+    if len(sys.argv) > 4:   # explicit order, e.g. run fault-prone queries last
+        qlist = [int(x) for x in sys.argv[4].split(",")]
+    if os.path.exists(out_path):   # resume: keep prior per-query results
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)["queries"]
+        except Exception:
+            prior = {}
+    else:
+        prior = {}
 
     t0 = time.time()
     db = Database(storage_path=os.path.join(REPO, f"data/tpch_sf{sf}"))
-    report = {}
-    n_ok = 0
-    for q in sorted(TPCH_QUERIES):
+    report = {int(k): v for k, v in prior.items()
+              if v.get("status") == "ok"}
+    n_ok = len(report)
+    for q in qlist:
+        if q in report and report[q].get("status") == "ok":
+            continue
         if str(q) not in oracle or "error" in oracle[str(q)]:
             report[q] = {"status": "no-oracle"}
             continue
