@@ -50,6 +50,9 @@ class Executor:
         self.last_stream_info: Optional[dict] = None
         self.last_attempts = 0
         self._sort_programs: Dict[tuple, object] = {}
+        # per-compiled-plan trace-time op counts (gather count = the unit of
+        # join-path cost on TPU; surfaced by \explain_analyze)
+        self._plan_op_stats: Dict[tuple, dict] = {}
         self.last_sort_path: Optional[str] = None
         # bound the per-plan caches: DML bumps table versions and strands old
         # entries, so long-lived multi-query sessions would otherwise leak
@@ -413,17 +416,12 @@ class Executor:
                 # row-packed gather instead of a scatter per column (TPU
                 # scatters are ~5x slower than gathers)
                 order = K.compact_order(chunk.alive)
-                cols = []
-                for a in out_attrs:
-                    d, v = chunk.slots[a.expr_id]
-                    d = jnp.asarray(d)
-                    if d.ndim == 0:
-                        d = jnp.broadcast_to(d, (chunk.capacity,))
-                    cols.append(d)
-                    cols.append(v)
-                gathered = K.multi_gather(cols, order)
-                datas = tuple(gathered[0::2])
-                valids = tuple(gathered[1::2])
+                # compose the compaction permutation with any pending lazy
+                # gather maps: payload bytes are gathered exactly once
+                ds, vs = chunk.take_columns(
+                    order, [a.expr_id for a in out_attrs])
+                datas = tuple(ds)
+                valids = tuple(vs)
                 prefix = self._result_prefix(plan, chunk.capacity)
                 sliced = (tuple(d[:prefix] for d in datas),
                           tuple(None if v is None else v[:prefix]
@@ -445,8 +443,13 @@ class Executor:
                 self._compile_cache.pop(next(iter(self._compile_cache)))
             self._compile_cache[fp] = cached
         t0 = time.perf_counter()
+        K.reset_trace()
         datas, valids, sliced, count, flags = cached(inputs)
         jax.block_until_ready(count)
+        if K.TRACE["gathers"]:   # first call traced the plan: snapshot counts
+            while len(self._plan_op_stats) >= self._plan_cache_limit:
+                self._plan_op_stats.pop(next(iter(self._plan_op_stats)))
+            self._plan_op_stats[fp] = dict(K.TRACE)
         t1 = time.perf_counter()
         dev_ms = None
         reps = int(getattr(self.config, "profile_device_reps", 0))
@@ -468,7 +471,8 @@ class Executor:
         # query_execution/Worker.cpp:136): device-program time vs D2H pull
         self.last_profile = {"exec_ms": (t1 - t0) * 1000,
                              "pull_ms": (t2 - t1) * 1000,
-                             "scan_bytes": getattr(self, "last_scan_bytes", 0)}
+                             "scan_bytes": getattr(self, "last_scan_bytes", 0),
+                             "op_stats": self._plan_op_stats.get(fp)}
         if dev_ms is not None:
             self.last_profile["device_ms"] = dev_ms
         outs = (datas, valids, int(n), host_sliced)

@@ -38,7 +38,7 @@ from quickstep_tpu.expressions.aggregate import AggregateSpec
 from quickstep_tpu.optimizer import logical as L
 from quickstep_tpu.optimizer.logical import OutAttr
 from quickstep_tpu.optimizer.stats import infer_range
-from quickstep_tpu.exec.chunk import Chunk
+from quickstep_tpu.exec.chunk import Chunk, compose_slots, repeat_slots
 from quickstep_tpu.ops import kernels as K
 from quickstep_tpu.ops import groupby as G
 from quickstep_tpu.ops import join as J
@@ -175,7 +175,9 @@ class PlanRunner:
                                          max(node.start, node.end))})
 
     def _exec_SharedSubplan(self, node: L.SharedSubplan) -> Chunk:
-        inner = self._exec_memo(node.plan)
+        # materialize once in the memoized chunk so multiple consumers share
+        # the gathered columns instead of re-gathering per consumer
+        inner = self._exec_memo(node.plan).materialize_all()
         slots = {}
         ranges = {}
         for fresh, orig in zip(node.attrs, inner.attrs):
@@ -199,6 +201,9 @@ class PlanRunner:
     # filter / project
     # ----------------------------------------------------------------
     def _eval(self, chunk: Chunk, e: Expr):
+        # batch-materialize every referenced lazy column up front (one
+        # row-packed gather per shared RowIds instead of one per column)
+        chunk.ensure(e.referenced_attrs() & set(chunk.slots))
         ctx = chunk.ctx(extra=self._subquery_slots)
         return e.eval(ctx)
 
@@ -221,6 +226,16 @@ class PlanRunner:
         ranges = {}
         for e, a in zip(node.exprs, node.attrs):
             self._bind_subqueries(e)
+            if isinstance(e, Attr) and e.expr_id in chunk.slots:
+                cur = chunk.slots[e.expr_id]
+                if getattr(cur, "lazy", False) and \
+                        jnp.asarray(cur.base).dtype == \
+                        jnp.dtype(a.type.device_dtype):
+                    # pass-through attr: keep the gather map lazy (no
+                    # materialization at projection boundaries)
+                    slots[a.expr_id] = cur
+                    ranges[a.expr_id] = infer_range(e, chunk.ranges)
+                    continue
             d, v = self._eval(chunk, e)
             d, v = chunk.broadcast(jnp.asarray(d, dtype=a.type.device_dtype), v)
             slots[a.expr_id] = (d, v)
@@ -250,7 +265,7 @@ class PlanRunner:
                 if key not in self._subquery_slots:
                     sub = self._exec_memo(x.plan)
                     out0 = sub.attrs[0]
-                    data, valid = sub.slots[out0.expr_id]
+                    data, valid = sub.get(out0.expr_id)
                     # first live row (scalar aggregates produce exactly one)
                     first = jnp.argmax(sub.alive)
                     any_row = jnp.any(sub.alive)
@@ -720,6 +735,10 @@ class PlanRunner:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
+        # the exchange marshals whole columns: materialize any pending lazy
+        # gather maps before flattening (laziness resumes device-local)
+        probe.materialize_all()
+        build.materialize_all()
         # routing key only: colliding hash packs just co-locate distinct keys
         # on one device (harmless); _join_local re-packs from real columns
         packed_b, packed_p, _hashed = self._pack_keys(node, build, probe,
@@ -879,6 +898,7 @@ class PlanRunner:
                     node, probe_loc, build_loc, pk_loc, bk_loc,
                     ov, strategy, build_unique,
                     probe_loc.alive, build_loc.alive)
+                out_c.materialize_all()   # body output crosses shard_map
                 # per-chunk runtime flags OR together (overwrites would lose
                 # an earlier chunk's overflow signal)
                 for k in list(self.flags):
@@ -1033,7 +1053,9 @@ class PlanRunner:
         tail_alive = build.alive & ~bmatched
 
         # Concatenate: left-join output on top, unmatched build rows (probe side
-        # null-extended) below.
+        # null-extended) below. (Concat ends laziness: materialize both parts.)
+        out.materialize_all()
+        build.materialize_all()
         build_ids = {a.expr_id for a in build.attrs}
         slots = {}
         for a in node.output:
@@ -1101,25 +1123,17 @@ class PlanRunner:
         if node.kind == "anti":
             return dataclasses.replace(probe, alive=probe.alive & ~matched)
 
-        # inner/left: gather build columns into probe order (one row-packed
-        # gather per lane dtype — see K.multi_gather)
+        # inner/left: late materialization — build columns become LazyCols
+        # sharing one row-id gather map; payload bytes are gathered only when
+        # (and if) a downstream operator reads them, usually post-compaction
+        # (the copy-elision analog, HashJoinOperator.hpp:420-422)
         safe = jnp.clip(bidx, 0, build.capacity - 1)
         slots = dict(probe.slots)
         ranges_out = dict(probe.ranges)
-        bcols = []
+        build_lazy = compose_slots(
+            build, safe, matched if node.kind == "left" else None)
         for a in build.attrs:
-            d, v = build.slots[a.expr_id]
-            d = jnp.asarray(d)
-            if d.ndim == 0:
-                d = jnp.broadcast_to(d, (build.capacity,))
-            bcols.append(d)
-            bcols.append(v)
-        gathered = K.multi_gather(bcols, safe)
-        for i, a in enumerate(build.attrs):
-            gd, gv = gathered[2 * i], gathered[2 * i + 1]
-            if node.kind == "left":
-                gv = matched if gv is None else (matched & gv)
-            slots[a.expr_id] = (gd, gv)
+            slots[a.expr_id] = build_lazy[a.expr_id]
             ranges_out[a.expr_id] = build.ranges.get(a.expr_id)
         alive = probe.alive if node.kind == "left" else (probe.alive & matched)
         # FDs: both sides' row-wise FDs survive; the probe-side join keys
@@ -1145,9 +1159,7 @@ class PlanRunner:
                 passed = self._eval_pred(out, node.residual)
                 # un-matched or failed-residual: null build side
                 keep = matched & passed
-                for a in build.attrs:
-                    d, v = out.slots[a.expr_id]
-                    out.slots[a.expr_id] = (d, keep if v is None else (keep & v))
+                out.restrict_valid([a.expr_id for a in build.attrs], keep)
             else:
                 passed = self._eval_pred(out, node.residual)
                 out.alive = out.alive & passed
@@ -1197,28 +1209,16 @@ class PlanRunner:
             ok = self._verify_keys(bidx, ok, pk_data, bk_data,
                                    repeat=max_matches)
         safe_b = jnp.clip(bidx, 0, build.capacity - 1)
-        slots = {}
-        for a in probe.attrs:
-            d, v = probe.slots[a.expr_id]
-            d = jnp.asarray(d)
-            if d.ndim == 0:
-                d = jnp.broadcast_to(d, (probe.capacity,))
-            # probe rows repeat K times consecutively: a structured repeat, not
-            # a random gather (XLA lowers repeat as broadcast+reshape)
-            slots[a.expr_id] = (jnp.repeat(d, max_matches),
-                                None if v is None
-                                else jnp.repeat(v, max_matches))
-        bcols = []
+        # Late materialization: probe rows repeat K times as a structured
+        # repeat of the int32 gather maps only; build columns share one
+        # candidate-row-id map. No payload column is touched at expansion
+        # width. take_ok stays None: `alive` already excludes non-candidates,
+        # and introducing a validity mask would divert downstream group-bys
+        # off the dense (null-free) path.
+        slots = repeat_slots(probe, max_matches)
+        build_lazy = compose_slots(build, safe_b, None)
         for a in build.attrs:
-            d, v = build.slots[a.expr_id]
-            d = jnp.asarray(d)
-            if d.ndim == 0:
-                d = jnp.broadcast_to(d, (build.capacity,))
-            bcols.append(d)
-            bcols.append(v)
-        gathered = K.multi_gather(bcols, safe_b)
-        for i, a in enumerate(build.attrs):
-            slots[a.expr_id] = (gathered[2 * i], gathered[2 * i + 1])
+            slots[a.expr_id] = build_lazy[a.expr_id]
         alive = jnp.repeat(probe.alive, max_matches) & ok
         pb = probe.bound if probe.bound is not None else probe.capacity
         out = Chunk(attrs=list(node.output), slots=slots, alive=alive,
@@ -1244,10 +1244,10 @@ class PlanRunner:
             unmatched = jnp.repeat(probe.alive & ~has_match, max_matches) & \
                 first_slot
             out.alive = out.alive | unmatched
-            for a in build.attrs:
-                d, v = out.slots[a.expr_id]
-                nv = (~unmatched) if v is None else (v & ~unmatched)
-                out.slots[a.expr_id] = (d, nv)
+            # null-extend the build side on resurrected slot-0 rows (the
+            # slot-0 candidate may be key-matched but residual-failed, so
+            # `ok` alone does not cover it)
+            out.restrict_valid([a.expr_id for a in build.attrs], ~unmatched)
         return out
 
     def _pair_chunk(self, node, probe, build, bidx, ok):
@@ -1255,18 +1255,13 @@ class PlanRunner:
         (for residual evaluation in semi/anti expansion)."""
         safe = jnp.clip(bidx, 0, build.capacity - 1)
         slots = dict(probe.slots)
-        bcols = []
+        # lazy compose: only the columns the residual actually references get
+        # gathered (at residual-eval time), not every build column. ok is not
+        # folded into validity — every caller ANDs `ok` into its own result
+        # and `alive` excludes non-candidates.
+        build_lazy = compose_slots(build, safe, None)
         for a in build.attrs:
-            d, v = build.slots[a.expr_id]
-            d = jnp.asarray(d)
-            if d.ndim == 0:
-                d = jnp.broadcast_to(d, (build.capacity,))
-            bcols.append(d)
-            bcols.append(v)
-        gathered = K.multi_gather(bcols, safe)
-        for i, a in enumerate(build.attrs):
-            gd, gv = gathered[2 * i], gathered[2 * i + 1]
-            slots[a.expr_id] = (gd, ok if gv is None else (ok & gv))
+            slots[a.expr_id] = build_lazy[a.expr_id]
         return Chunk(attrs=list(probe.attrs) + list(build.attrs), slots=slots,
                      alive=probe.alive & ok, capacity=probe.capacity)
 
@@ -1380,12 +1375,9 @@ class PlanRunner:
         if target >= chunk.capacity:
             return chunk
         order = K.compact_order(chunk.alive)[:target]
-        slots = {}
-        for eid, (d, v) in chunk.slots.items():
-            d = jnp.asarray(d)
-            if d.ndim == 0:
-                d = jnp.broadcast_to(d, (chunk.capacity,))
-            slots[eid] = (d[order], None if v is None else v[order])
+        # late materialization: only the int32 gather maps move; payload
+        # columns stay as LazyCols against their original bases
+        slots = compose_slots(chunk, order, None)
         return dataclasses.replace(chunk, slots=slots,
                                    alive=chunk.alive[order],
                                    capacity=target, bound=target)
@@ -1434,6 +1426,8 @@ class PlanRunner:
         return self._cross_pair(node, left, right)
 
     def _cross_pair(self, node: L.Join, left: Chunk, right: Chunk) -> Chunk:
+        left.materialize_all()
+        right.materialize_all()
         cap = left.capacity * right.capacity
         if cap > (1 << 26):
             raise ExecutionError(
@@ -1485,13 +1479,7 @@ class PlanRunner:
         else:
             order = S.order_permutation(keys, valids, node.ascending,
                                         node.nulls_first, chunk.alive)
-        slots = {}
-        for a in chunk.attrs:
-            d, v = chunk.slots[a.expr_id]
-            d = jnp.asarray(d)
-            if d.ndim == 0:
-                d = jnp.broadcast_to(d, (chunk.capacity,))
-            slots[a.expr_id] = (d[order], None if v is None else v[order])
+        slots = compose_slots(chunk, order, None)
         alive = chunk.alive[order]
         out = Chunk(attrs=list(chunk.attrs), slots=slots, alive=alive,
                     capacity=chunk.capacity, ranges=dict(chunk.ranges),
@@ -1509,6 +1497,7 @@ class PlanRunner:
 
     def _exec_Distinct(self, node: L.Distinct) -> Chunk:
         chunk = self.exec(node.input)
+        chunk.ensure([a.expr_id for a in chunk.attrs])
         key_data, key_valid = [], []
         for a in chunk.attrs:
             d, v = chunk.slots[a.expr_id]
@@ -1528,7 +1517,7 @@ class PlanRunner:
                      unique_sets=[frozenset(a.expr_id for a in chunk.attrs)])
 
     def _exec_SetOperation(self, node: L.SetOperation) -> Chunk:
-        chunks = [self.exec(c) for c in node.inputs]
+        chunks = [self.exec(c).materialize_all() for c in node.inputs]
         if node.kind in ("union", "union_all"):
             cap = sum(c.capacity for c in chunks)
             slots = {}

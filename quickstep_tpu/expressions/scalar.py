@@ -34,13 +34,21 @@ ValuePair = Tuple[Array, Optional[Array]]
 
 
 class EvalContext:
-    """Maps attribute ExprIds -> (data, valid) columns for the current operator input."""
+    """Maps attribute ExprIds -> (data, valid) columns for the current operator
+    input. `fetch` is the owning Chunk's materializer: slots may hold LazyCol
+    gather maps (late materialization, exec/chunk.py) which are resolved — and
+    cached back into the chunk — on first lookup."""
 
-    def __init__(self, slots: Dict[int, ValuePair]):
+    def __init__(self, slots: Dict[int, ValuePair], fetch=None):
         self.slots = slots
+        self.fetch = fetch
 
     def lookup(self, expr_id: int) -> ValuePair:
-        return self.slots[expr_id]
+        v = self.slots[expr_id]
+        if getattr(v, "lazy", False):
+            v = self.fetch(expr_id)
+            self.slots[expr_id] = v
+        return v
 
 
 @dataclasses.dataclass

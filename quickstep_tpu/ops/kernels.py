@@ -14,6 +14,19 @@ import jax
 import jax.numpy as jnp
 
 
+# Trace-time op counters (the WorkOrder profiling analog,
+# query_execution/PolicyEnforcerBase.cpp:45 recordTimeForWorkOrder): counted
+# host-side while a plan traces, snapshotted per compiled program by the
+# executor and surfaced in \explain_analyze — gather count is the unit of
+# join-path cost on TPU (random HBM access passes).
+TRACE = {"gathers": 0, "gather_rows": 0}
+
+
+def reset_trace():
+    TRACE["gathers"] = 0
+    TRACE["gather_rows"] = 0
+
+
 def alive_mask(capacity: int, count) -> jnp.ndarray:
     """Rows [0, count) of a padded array are live."""
     return jnp.arange(capacity) < count
@@ -93,9 +106,13 @@ def multi_gather(cols: List[Optional[jnp.ndarray]], idx: jnp.ndarray):
     for lane, idxs in groups.items():
         padded = max(n_src, m_idx) * 128 * jnp.dtype(lane).itemsize
         if len(idxs) == 1 or padded > PACK_PAD_LIMIT:
+            TRACE["gathers"] += len(idxs)
+            TRACE["gather_rows"] += m_idx * len(idxs)
             for i in idxs:
                 out[i] = cols[i][idx]
             continue
+        TRACE["gathers"] += 1
+        TRACE["gather_rows"] += m_idx
         packed = jnp.stack([_to_lane(cols[i], lane) for i in idxs], axis=1)
         g = packed[idx]  # [m, k] one row gather per lane group
         for j, i in enumerate(idxs):

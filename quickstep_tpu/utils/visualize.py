@@ -108,6 +108,12 @@ def explain(db, sql: str, analyze: bool = False) -> str:
             for c in n.children():
                 twalk(c, depth + 1)
         twalk(plan)
+        prof = getattr(db.executor, "last_profile", None) or {}
+        ops = prof.get("op_stats")
+        if ops:
+            out.append("-- op counts (traced program) --")
+            out.append(f"gathers: {ops['gathers']}  "
+                       f"gathered rows: {ops['gather_rows']}")
     out.append("")
     out.append(plan_to_dot(plan, cards, times))
     return "\n".join(out)
