@@ -203,6 +203,10 @@ class Catalog:
                         for a in rel.attributes
                     ],
                     "num_rows": rel.data.num_rows,
+                    # version round-trips so per-version learned state
+                    # (learned_overrides.json, SMA summaries) stays valid
+                    # across restarts
+                    "version": rel.version,
                     "stats": _stats_to_json(rel.statistics),
                     "partition": dataclasses.asdict(rel.partition_scheme)
                     if rel.partition_scheme else None,
@@ -266,12 +270,14 @@ class Catalog:
                     cols[a.name] = Column(a.type, data, valid, dictionary)
                 rel.data = TableData(cols)
                 rel.indices = relm.get("indices", [])
+                rel.version = relm.get("version", 0)
                 for a in attrs:
                     spath = os.path.join(rdir, f"{a.name}.sma.npz")
                     if os.path.exists(spath):
                         z = np.load(spath)
                         rel.sma_blocks[a.name] = (int(z["block_rows"]),
-                                                  z["mins"], z["maxs"], 0)
+                                                  z["mins"], z["maxs"],
+                                                  rel.version)
                 rel.statistics = _stats_from_json(relm.get("stats"))
                 if relm.get("partition"):
                     rel.partition_scheme = PartitionScheme(**relm["partition"])

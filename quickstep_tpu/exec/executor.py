@@ -66,6 +66,50 @@ class Executor:
             from quickstep_tpu.parallel.mesh import make_mesh
             if len(jax.devices()) > 1:
                 self.mesh = make_mesh(axis=config.default_mesh_axis)
+        # Learned join-strategy/capacity overrides persist with the store
+        # (the ExecutionStats feedback made durable): a fresh process re-runs
+        # a previously-corrected plan in one pass instead of re-paying the
+        # failed-attempt retries — which also de-risks large-scale retries
+        # whose first attempt can exhaust HBM.
+        if config.storage_path:
+            self._load_overrides()
+
+    @property
+    def _overrides_path(self):
+        import os
+        if not self.config.storage_path:
+            return None
+        return os.path.join(self.config.storage_path,
+                            "learned_overrides.json")
+
+    def _load_overrides(self):
+        import ast, json, os
+        if not self._overrides_path or \
+                not os.path.exists(self._overrides_path):
+            return
+        try:
+            with open(self._overrides_path) as f:
+                raw = json.load(f)
+            for key_repr, ovs in raw.items():
+                key = ast.literal_eval(key_repr)
+                self._learned_overrides[key] = {
+                    int(nid): JoinOverride(**fields)
+                    for nid, fields in ovs.items()}
+        except Exception:
+            pass  # stale/corrupt cache: regenerate by re-learning
+
+    def _save_overrides(self):
+        import json
+        if not self._overrides_path:
+            return
+        try:
+            raw = {repr(key): {str(nid): dataclasses.asdict(ov)
+                               for nid, ov in ovs.items()}
+                   for key, ovs in self._learned_overrides.items()}
+            with open(self._overrides_path, "w") as f:
+                json.dump(raw, f)
+        except OSError:
+            pass
 
     def _table_bytes(self, rel: CatalogRelation) -> int:
         total = 0
@@ -223,6 +267,7 @@ class Executor:
                     next(iter(self._learned_overrides)))
             self._learned_overrides[learn_key] = {
                 k: dataclasses.replace(v) for k, v in overrides.items()}
+            self._save_overrides()
         else:
             raise ExecutionError("join fallback did not converge")
 

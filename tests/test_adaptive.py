@@ -89,3 +89,22 @@ def test_conjunct_ordering_by_selectivity():
     first = filt.predicate.operands[0]
     assert isinstance(first, Cmp) and first.op == "="
     assert db.execute("SELECT a FROM t WHERE b <> 2 AND a = 5").num_rows == 1
+
+
+def test_learned_overrides_persist_with_store(tmp_path):
+    """Learned overrides are written to the store (learned_overrides.json) so
+    a FRESH process/instance runs the corrected plan on its first attempt —
+    no re-paying the overflow retry (reference analog: making the
+    ExecutionStats feedback durable)."""
+    db = _setup()
+    db.config.storage_path = str(tmp_path / "store")
+    db.save()
+    sql = ("SELECT p.k, COUNT(*) AS c FROM probe p, build b "
+           "WHERE p.k = b.k GROUP BY p.k ORDER BY p.k")
+    r1 = db.execute(sql)
+    assert db.executor.last_attempts >= 2
+
+    db2 = Database(storage_path=str(tmp_path / "store"))
+    r2 = db2.execute(sql)
+    assert r2.rows == r1.rows
+    assert db2.executor.last_attempts == 1   # learned override loaded cold
