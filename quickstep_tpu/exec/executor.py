@@ -1257,7 +1257,8 @@ def _fingerprint(node: L.LogicalNode, canon: Optional[dict] = None) -> tuple:
     for c in node.children():
         parts.append(_fingerprint(c, canon))
     # output ids last (Aggregate/Project attr ids referenced above)
-    if isinstance(node, (L.Project, L.Aggregate, L.WindowAggregate)):
+    if isinstance(node, (L.Project, L.Aggregate, L.WindowAggregate,
+                         L.RowNumber)):
         parts.append(tuple(cid(a.expr_id) for a in node.output))
     return tuple(parts)
 

@@ -1598,6 +1598,24 @@ class PlanRunner:
             d = rm[jnp.clip(d, 0, rm.shape[0] - 1)]
         return d, v
 
+    def _exec_RowNumber(self, node: L.RowNumber) -> Chunk:
+        """Synthetic unique row id per (padded) row position: the outer-row
+        identity of general decorrelation. Dead rows get ids too (harmless —
+        they stay dead)."""
+        chunk = self.exec(node.input)
+        a = node.out_attr
+        slots = dict(chunk.slots)
+        slots[a.expr_id] = (jnp.arange(chunk.capacity, dtype=jnp.int64), None)
+        rid_set = frozenset([a.expr_id])
+        return Chunk(
+            attrs=list(node.output), slots=slots, alive=chunk.alive,
+            capacity=chunk.capacity, bound=chunk.bound,
+            ranges={**chunk.ranges, a.expr_id: (0, chunk.capacity - 1)},
+            unique_sets=list(chunk.unique_sets) + [rid_set],
+            fds=list(chunk.fds) + [
+                (rid_set, frozenset(x.expr_id for x in chunk.attrs))],
+            max_counts={**chunk.max_counts, a.expr_id: 1})
+
     def _exec_WindowAggregate(self, node: L.WindowAggregate) -> Chunk:
         from quickstep_tpu.ops.window import window_aggregate
         chunk = self.exec(node.input)

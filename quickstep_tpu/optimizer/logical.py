@@ -249,6 +249,26 @@ class Distinct(LogicalNode):
 
 
 @dataclasses.dataclass
+class RowNumber(LogicalNode):
+    """Appends a synthetic unique row-id column — the outer-row identity used
+    by general (non-equality) correlated-subquery decorrelation (reference
+    UnnestSubqueries' outer-query grouping, query_optimizer/rules/
+    UnnestSubqueries.cpp)."""
+    input: LogicalNode = None
+    out_attr: OutAttr = None
+
+    @property
+    def output(self):
+        return list(self.input.output) + [self.out_attr]
+
+    def children(self):
+        return [self.input]
+
+    def _label(self):
+        return "RowNumber"
+
+
+@dataclasses.dataclass
 class SetOperation(LogicalNode):
     """UNION [ALL] / INTERSECT over schema-aligned inputs."""
     kind: str = "union_all"

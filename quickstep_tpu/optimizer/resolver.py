@@ -95,12 +95,16 @@ class PendingJoin:
     """A join obligation produced while resolving a WHERE conjunct containing a
     subquery: attached to the outer join tree after it is built."""
     kind: str                    # 'semi' | 'anti' | 'scalar_agg' (left join)
+    #                              | 'scalar_agg_general' (theta decorrelation)
     plan: L.LogicalNode
     outer_keys: List[Expr]
     inner_keys: List[Expr]       # attrs of plan.output
     residual: Optional[Expr] = None
     post_predicate: Optional[Expr] = None  # for scalar_agg comparisons
     null_aware: bool = False     # [NOT] IN three-valued semantics on key 0
+    # scalar_agg_general only: the aggregate specs/attrs computed per outer row
+    agg_specs: Optional[List[AggregateSpec]] = None
+    agg_attrs: Optional[List[OutAttr]] = None
 
 
 class ResolveState:
@@ -439,6 +443,31 @@ class Resolver:
                 plan = L.Join(left=plan, right=pj.plan, kind=pj.kind,
                               left_keys=pj.outer_keys, right_keys=pj.inner_keys,
                               residual=pj.residual, null_aware=pj.null_aware)
+            elif pj.kind == "scalar_agg_general":
+                # Aggregate-over-theta-join decorrelation: the outer rows get a
+                # synthetic unique id; a LEFT join with equality keys + theta
+                # residual produces one row per (outer row, matching inner
+                # row); the aggregate groups by the id; a final join by id
+                # attaches each outer row's aggregate. The outer subtree is
+                # referenced twice and re-executed — acceptable for this
+                # (reference-parity) fallback path, which TPC-H never takes.
+                rid = OutAttr(next_expr_id(), "__rid", LONG)
+                base = L.RowNumber(input=plan, out_attr=rid)
+                joined = L.Join(left=base, right=pj.plan, kind="left",
+                                left_keys=pj.outer_keys,
+                                right_keys=pj.inner_keys,
+                                residual=pj.residual)
+                rid2 = OutAttr(next_expr_id(), "__rid_g", LONG)
+                agg = L.Aggregate(input=joined,
+                                  group_by=[_attr_of(rid)],
+                                  group_attrs=[rid2],
+                                  aggregates=list(pj.agg_specs),
+                                  agg_attrs=list(pj.agg_attrs))
+                plan = L.Join(left=base, right=agg, kind="left",
+                              left_keys=[_attr_of(rid)],
+                              right_keys=[_attr_of(rid2)])
+                if pj.post_predicate is not None:
+                    post_filters.append(pj.post_predicate)
             else:  # scalar_agg: left join, comparison applied as a filter above
                 plan = L.Join(left=plan, right=pj.plan, kind="left",
                               left_keys=pj.outer_keys, right_keys=pj.inner_keys,
@@ -1287,9 +1316,9 @@ class Resolver:
         plan, correlated, _ = self._resolve_subplan(sub, scope)
         outer_keys, inner_keys, residual = _split_correlation(
             correlated, {a.expr_id for a in plan.output})
-        if not outer_keys:
-            raise ResolutionError("EXISTS subquery must be correlated via equality",
-                                  sub.line, sub.column)
+        # No equality correlation (pure theta, e.g. EXISTS(... WHERE x < outer.y),
+        # or uncorrelated EXISTS): the executor's nested-loops semi/anti join
+        # handles keyless [NOT] EXISTS (reference UnnestSubqueries general path).
         state.pending_joins.append(PendingJoin(
             kind="anti" if negated else "semi", plan=plan,
             outer_keys=outer_keys, inner_keys=inner_keys, residual=residual))
@@ -1331,6 +1360,37 @@ class Resolver:
                 e.line, e.column)
         outer_keys, inner_keys_exprs, residual = _split_correlation(
             correlated, set())
+        if residual is not None:
+            # General (non-equality) correlation: aggregate-over-theta-join
+            # keyed by a synthetic outer-row id (the UnnestSubqueries general
+            # path, query_optimizer/rules/UnnestSubqueries.cpp). Planned at
+            # attach time: RowNumber(outer) LEFT-theta-JOIN inner, aggregate
+            # grouped by the row id, then join the aggregates back.
+            inner_input = agg_plan.input
+            specs = list(agg_plan.aggregates)
+            if any(s.arg is None for s in specs):
+                # COUNT(*) over the correlated set: count a non-null marker
+                # column instead, so unmatched outer rows count 0
+                marker = OutAttr(next_expr_id(), "__one", LONG)
+                inner_input = L.Project(
+                    input=inner_input,
+                    exprs=[_attr_of(a) for a in inner_input.output] +
+                          [Lit(value=1, type=LONG)],
+                    attrs=[dataclasses.replace(a)
+                           for a in inner_input.output] + [marker])
+                specs = [dataclasses.replace(
+                             s, arg=_attr_of(marker)) if s.arg is None else s
+                         for s in specs]
+            state.pending_joins.append(PendingJoin(
+                kind="scalar_agg_general", plan=inner_input,
+                outer_keys=outer_keys, inner_keys=inner_keys_exprs,
+                residual=residual, agg_specs=specs,
+                agg_attrs=list(agg_plan.agg_attrs)))
+            if result_expr is not None:
+                return result_expr
+            out_ref = _attr_of(agg_attr)
+            out_ref.type = agg_attr.type.with_nullable(True)
+            return out_ref
         # inner side of each correlated equality joins the aggregate's group-by
         new_group_exprs = inner_keys_exprs
         group_attrs = []
@@ -1342,10 +1402,6 @@ class Resolver:
             inner_key_attrs.append(_attr_of(attr))
         agg_plan.group_by = agg_plan.group_by + new_group_exprs
         agg_plan.group_attrs = agg_plan.group_attrs + group_attrs
-        if residual is not None:
-            # Correlated non-equality conjuncts can't be grouped; not supported.
-            raise ResolutionError("unsupported correlated subquery predicate",
-                                  e.line, e.column)
         state.pending_joins.append(PendingJoin(
             kind="scalar_agg", plan=agg_plan, outer_keys=outer_keys,
             inner_keys=inner_key_attrs))
