@@ -824,10 +824,19 @@ class PlanRunner:
             sel = max(min(sel, 1.0), 0.125)
         bp_c = factor * max(8, -(-int(2 * Lc * sel) // n))
         recv_p_c = n * bp_c
+        # logical ICI exchange volume: every marshaled array crosses the
+        # all_to_all once (bucketed, so actual bytes = bucket capacity)
+        probe_row_bytes = sum(jnp.asarray(a).dtype.itemsize
+                              for a in p_arrays) + 1
+        build_row_bytes = sum(jnp.asarray(a).dtype.itemsize
+                              for a in b_arrays) + 1
+        exchange_bytes = n * (chunks * recv_p_c * probe_row_bytes +
+                              recv_b * build_row_bytes)
         self.last_shuffle_info = {
             "chunks": chunks, "lip_bits": lip_bits,
             "probe_bucket_rows": chunks * recv_p_c,
-            "build_bucket_rows": recv_b, "sel_est": round(sel, 4)}
+            "build_bucket_rows": recv_b, "sel_est": round(sel, 4),
+            "exchange_bytes": int(exchange_bytes)}
         # trace-time breadcrumb for \explain_analyze and tests (the runner
         # itself lives only inside the jit trace)
         type(self).trace_shuffle_info = dict(self.last_shuffle_info)
