@@ -307,9 +307,11 @@ class Executor:
         partial_valid = [[] for _ in range(nattrs)]
         bytes_streamed = 0
         segments_run = 0
+        prober = S.AdaptiveProber(len(sp.scan_filters))
         for seg in range(sp.n_segments):
             if not S.segment_survives(sp.scan_filters, sp.scan_attr_cols, rel,
-                                      seg, sp.seg_rows, sp.n_segments):
+                                      seg, sp.seg_rows, sp.n_segments,
+                                      prober=prober):
                 continue   # SMA skip: bytes never leave the host
             segments_run += 1
             seg_inputs, seg_bytes = self._segment_inputs(
@@ -369,7 +371,10 @@ class Executor:
         self.last_stream_info = {"segments": sp.n_segments,
                                  "segments_run": segments_run,
                                  "seg_rows": sp.seg_rows,
-                                 "bytes_streamed": bytes_streamed}
+                                 "bytes_streamed": bytes_streamed,
+                                 "probe_order": prober.order(),
+                                 "probe_evaluations": prober.evaluations,
+                                 "probe_rejects": list(prober.rejects)}
         return result
 
     def _segment_meta(self, rel, colnames, segcap):

@@ -497,11 +497,39 @@ def segment_minmax(rel, col: str, seg_rows: int, n_segments: int):
     return out
 
 
+class AdaptiveProber:
+    """Runtime-adaptive filter probe ordering — the TPU-native analog of the
+    reference's LIPFilterAdaptiveProber (utility/lip_filter/
+    LIPFilterAdaptiveProber.hpp:51,89). On TPU the device predicate is one
+    fused vector program (no short-circuit to reorder), so the adaptive
+    surface is the HOST side of streamed scans: SMA segment-pruning conjuncts
+    are probed in decreasing OBSERVED reject rate, re-estimated as segments
+    stream. A conjunct whose plan-time selectivity estimate was misleading
+    sinks within a few segments, and later conjuncts are never evaluated for
+    a segment the first conjunct already rejected."""
+
+    def __init__(self, n: int):
+        self.checks = [0] * n
+        self.rejects = [0] * n
+        self.evaluations = 0   # total conjunct probes across all segments
+
+    def order(self) -> List[int]:
+        # Laplace-smoothed reject rate, stable order for ties
+        return sorted(range(len(self.checks)),
+                      key=lambda i: (-(self.rejects[i] + 1.0) /
+                                     (self.checks[i] + 2.0), i))
+
+
 def segment_survives(filters: List[Expr], scan_cols: Dict[int, str], rel,
-                     seg: int, seg_rows: int, n_segments: int) -> bool:
+                     seg: int, seg_rows: int, n_segments: int,
+                     prober: Optional[AdaptiveProber] = None) -> bool:
     """False only when some conjunct provably rejects every row of the
-    segment (conservative: unknown shapes keep the segment)."""
-    for f in filters:
+    segment (conservative: unknown shapes keep the segment). With a prober,
+    conjuncts are evaluated in observed-reject-rate order and stop at the
+    first rejection."""
+    idxs = prober.order() if prober is not None else range(len(filters))
+    for i in idxs:
+        f = filters[i]
         iv = _conjunct_interval(f)
         if iv is None:
             continue
@@ -510,15 +538,17 @@ def segment_survives(filters: List[Expr], scan_cols: Dict[int, str], rel,
         if col is None:
             continue
         mn, mx = segment_minmax(rel, col, seg_rows, n_segments)[seg]
-        if op == "<" and not (mn < val):
-            return False
-        if op == "<=" and not (mn <= val):
-            return False
-        if op == ">" and not (mx > val):
-            return False
-        if op == ">=" and not (mx >= val):
-            return False
-        if op == "=" and not (mn <= val <= mx):
+        rejected = ((op == "<" and not (mn < val)) or
+                    (op == "<=" and not (mn <= val)) or
+                    (op == ">" and not (mx > val)) or
+                    (op == ">=" and not (mx >= val)) or
+                    (op == "=" and not (mn <= val <= mx)))
+        if prober is not None:
+            prober.checks[i] += 1
+            prober.evaluations += 1
+            if rejected:
+                prober.rejects[i] += 1
+        if rejected:
             return False
     return True
 

@@ -166,3 +166,43 @@ def test_strict_budget_errors_on_unstreamable(dbs):
                 "WHERE b1.seq = b2.seq AND b1.v < 1.0")
     finally:
         streamed.config.strict_hbm_budget = False
+
+
+def test_adaptive_probe_ordering():
+    """Runtime-adaptive SMA probe ordering (LIPFilterAdaptiveProber analog):
+    data engineered so the PLAN-TIME conjunct order is misleading — the
+    first-listed conjunct never rejects a segment while the second rejects
+    almost all — must flip the probe order at runtime and cut the number of
+    host conjunct evaluations below the naive filters*segments product."""
+    from quickstep_tpu.config import Config
+    cfg = Config()
+    cfg.display_timing = False
+    cfg.hbm_budget_bytes = 120_000
+    db = Database(config=cfg)
+    db.execute("CREATE TABLE t (a INT NOT NULL, b INT NOT NULL, "
+               "v DOUBLE NOT NULL)")
+    rows = []
+    n = 30000
+    for i in range(n):
+        # a: 0/1 alternating -> `a = 0` estimated selectivity ~1/2e-? ... the
+        # point: every segment contains a 0, so min<=0<=max never rejects.
+        # b: monotonically increasing -> `b < 100` rejects every segment
+        # except the first, but its plan-time estimate (~uniform) is weak.
+        rows.append(f"({i % 2}, {i}, {float(i % 97)})")
+        if len(rows) == 5000:
+            db.execute("INSERT INTO t VALUES " + ", ".join(rows))
+            rows = []
+    db.execute("\\analyze")
+    r = db.execute("SELECT COUNT(*), SUM(v) FROM t WHERE a = 0 AND b < 100")
+    info = db.executor.last_stream_info
+    assert info is not None and info["segments"] > 2, info
+    nf = len(info["probe_rejects"])
+    assert nf >= 2
+    # the rejecting conjunct must have risen to the front of the probe order
+    best = info["probe_order"][0]
+    assert info["probe_rejects"][best] == max(info["probe_rejects"])
+    assert info["probe_rejects"][best] > 0
+    # adaptive stop-at-first-reject saves host evaluations vs naive all-pairs
+    assert info["probe_evaluations"] < info["segments"] * nf
+    # correctness unchanged
+    assert r.rows[0][0] == 50
