@@ -154,6 +154,9 @@ class Executor:
     # ================================================================
     def execute_statement(self, stmt: A.Statement) -> QueryResult:
         t0 = time.perf_counter()
+        # per-statement device dispatch counter (the wall/dev ratio scales
+        # with dispatch count x tunnel RTT; printed by the bench per query)
+        self.dispatches = 0
         if isinstance(stmt, A.SelectStmt):
             res = self._run_select(stmt)
         elif isinstance(stmt, A.CreateTableStmt):
@@ -494,6 +497,7 @@ class Executor:
             self._compile_cache[fp] = cached
         t0 = time.perf_counter()
         K.reset_trace()
+        self.dispatches = getattr(self, "dispatches", 0) + 1
         datas, valids, sliced, count, flags = cached(inputs)
         jax.block_until_ready(count)
         if K.TRACE["gathers"]:   # first call traced the plan: snapshot counts
@@ -508,6 +512,7 @@ class Executor:
             # time ~ (T_k - T_1) / (k - 1)
             last = count
             tp0 = time.perf_counter()
+            self.dispatches += reps
             for _ in range(reps):
                 *_rest, last, _fl = cached(inputs)
             jax.block_until_ready(last)
@@ -710,6 +715,7 @@ class Executor:
             self._sort_programs[sig] = fn
         ds = [jnp.asarray(d)[:m] for d in datas]
         vs = [None if v is None else jnp.asarray(v)[:m] for v in valids]
+        self.dispatches = getattr(self, "dispatches", 0) + 1
         out = jax.device_get(fn(ds, vs, jnp.asarray(n, jnp.int32)))
         n_pull = min(n, k_out)
         host_d = [np.asarray(x)[:n_pull] for x in out[:len(ds)]]
