@@ -986,10 +986,29 @@ class PlanRunner:
             bk_data, [None] * len(bk_data),
             [("min", bx, None), ("max", bx, None)],
             bmask, packed_key=packed)
-        # unique join: probe keys -> group row (group keys are unique)
-        tsize = K.next_pow2(2 * build.capacity)
-        table, _ = J.oa_build(out_keys, galive, tsize)
-        gidx, matched = J.oa_probe(table, out_keys, pk_data, pmask)
+        # unique join: probe keys -> group row (group keys are unique).
+        # Merge probe needs an injective packing valid for BOTH sides, so
+        # the pack ranges are the union of build/probe key ranges.
+        pranges = self._key_ranges(node.left_keys, probe)
+        merged_ranges = None
+        if all(r is not None for r in key_ranges) and \
+                all(r is not None for r in pranges):
+            merged_ranges = [(min(a[0], b[0]), max(a[1], b[1]))
+                             for a, b in zip(key_ranges, pranges)]
+        packed_g = packed_pk = None
+        if merged_ranges is not None:
+            packed_g = self._pack_sort_key(
+                out_keys, [None] * len(out_keys), merged_ranges)
+            packed_pk = self._pack_sort_key(
+                pk_data, [None] * len(pk_data), merged_ranges)
+        if packed_g is not None and packed_pk is not None:
+            gidx, matched, _dup = J.merge_unique_probe(
+                packed_g.astype(jnp.int64), galive,
+                packed_pk.astype(jnp.int64), pmask)
+        else:
+            tsize = K.next_pow2(2 * build.capacity)
+            table, _ = J.oa_build(out_keys, galive, tsize)
+            gidx, matched = J.oa_probe(table, out_keys, pk_data, pmask)
         safe = jnp.clip(gidx, 0, build.capacity - 1)
         gmin, gmax = K.multi_gather([results[0][0], results[1][0]], safe)
         px, pxv = probe.broadcast(*self._eval(probe, probe_expr))
@@ -1031,11 +1050,32 @@ class PlanRunner:
             out = self._expand_join(left_node, probe, build, pk_data, bk_data,
                                     ov, pmask, bmask)
 
-        # Which build rows found a partner? Reverse existence probe.
+        # Which build rows found a partner? Reverse existence merge-probe.
         if node.residual is None:
-            tsize = K.next_pow2(2 * probe.capacity)
-            table, _ = J.oa_build(pk_data, pmask, tsize)
-            _, bmatched = J.oa_probe(table, pk_data, bk_data, bmask)
+            packed_b, packed_p, hashed = self._pack_keys(node, build, probe,
+                                                         bk_data, pk_data)
+            if not hashed:
+                _pidx, bmatched, _dup = J.merge_unique_probe(
+                    packed_p, pmask, packed_b, bmask)
+            else:
+                # non-injective packing: existence needs the whole equal-pack
+                # run verified (a colliding probe key could hide the true
+                # partner); walk it with the expansion primitive, K escalated
+                # by the standard overflow retry
+                sorted_p, order_p = J.sorted_build(packed_p, pmask)
+                kmax = (ov.max_matches if ov and ov.max_matches else 8)
+                rows, counts = J.expand_probe(sorted_p, order_p, packed_b,
+                                              bmask, kmax)
+                bmatched = jnp.zeros((build.capacity,), bool)
+                for k in range(kmax):
+                    pid_k = rows[k::kmax]
+                    okk = pid_k >= 0
+                    okk = self._verify_keys(pid_k, okk, bk_data, pk_data)
+                    bmatched = bmatched | okk
+                okey = f"join_overflow_{idx}"
+                over = jnp.any(counts > kmax)
+                self.flags[okey] = (self.flags[okey] | over) \
+                    if okey in self.flags else over
         else:
             # residual participates in matching: expand from the build side and
             # test the residual per candidate pair
@@ -1121,9 +1161,22 @@ class PlanRunner:
             bidx, matched = J.direct_probe(table, pk_data[0], pmask, lo,
                                            domain)
         else:
-            tsize = K.next_pow2(2 * build.capacity)
-            table, dup = J.oa_build(bk_data, bmask, tsize)
-            bidx, matched = J.oa_probe(table, bk_data, pk_data, pmask)
+            # merge join (sort + counting merge): no probe loops, no random
+            # gathers — see J.merge_starts. Hash-packed composite keys can
+            # collide; verify the actual key columns on candidates.
+            packed_b, packed_p, hashed = self._pack_keys(node, build, probe,
+                                                         bk_data, pk_data)
+            bidx, matched, dup = J.merge_unique_probe(packed_b, bmask,
+                                                      packed_p, pmask)
+            if hashed:
+                matched = self._verify_keys(bidx, matched, pk_data, bk_data)
+                bidx = jnp.where(matched, bidx, -1)
+                # non-injective packing: two REAL keys may collide into one
+                # packed run, shadowing a true match behind the run's first
+                # row — the dup flag must fire even for declared-unique
+                # builds so the executor retries on the (verifying)
+                # expansion path
+                check_dups = True
         if check_dups:
             self.flags[f"join_dup_{self.node_index[id(node)]}"] = dup
 

@@ -175,7 +175,7 @@ def oa_probe(table: jnp.ndarray, build_key_cols: List[jnp.ndarray],
 
 
 # ---------------------------------------------------------------------
-# path 3: sort-based expansion (duplicate build keys)
+# path 3: sort-based merge join (duplicate build keys / generic fallback)
 # ---------------------------------------------------------------------
 
 def sorted_build(key: jnp.ndarray, alive: jnp.ndarray):
@@ -184,6 +184,45 @@ def sorted_build(key: jnp.ndarray, alive: jnp.ndarray):
     k = jnp.where(alive, key, jnp.iinfo(key.dtype).max)
     order = jnp.argsort(k)
     return k[order], order
+
+
+def merge_starts(sorted_key: jnp.ndarray, probe_key: jnp.ndarray):
+    """For every probe key, (start, count) of its equal-key run in sorted_key
+    — i.e. searchsorted left/right — via ONE concatenated stable sort plus
+    prefix arithmetic, with NO random gathers.
+
+    Why not jnp.searchsorted: binary search lowers to log2(n) rounds where
+    every round is a full random-gather pass over the probe vector (~60ms per
+    8M rows on v5e x ~23 rounds ~ 1.4s per call); this merge formulation is
+    two lax.sorts (~25ms each at 8M) and a few cumsums. The classic
+    sort-merge-join counting trick: concat (build, probe) tagged, stable-sort
+    by (key, tag); at a probe element, #builds before it = its merged rank
+    minus its probe rank, and the builds of its own equal-key run all precede
+    it (build tag sorts first), giving `right` and `count` directly."""
+    n = sorted_key.shape[0]
+    m = probe_key.shape[0]
+    keys = jnp.concatenate([sorted_key,
+                            probe_key.astype(sorted_key.dtype)])
+    tag = jnp.concatenate([jnp.zeros((n,), jnp.int8),
+                           jnp.ones((m,), jnp.int8)])
+    iota = jnp.arange(n + m, dtype=jnp.int32)
+    s_key, s_tag, s_iota = jax.lax.sort((keys, tag, iota), num_keys=2,
+                                        is_stable=True)
+    pos = jnp.arange(n + m, dtype=jnp.int32)
+    t32 = s_tag.astype(jnp.int32)
+    probe_rank = jnp.cumsum(t32)              # probes at positions <= pos
+    bcnt = pos + 1 - probe_rank               # builds at positions <= pos
+    # builds inside this equal-key run up to pos: bcnt - bcnt[run_start - 1],
+    # the base propagated gather-free by cummax (bcnt is nondecreasing)
+    change = (pos == 0) | (s_key != jnp.roll(s_key, 1))
+    base = jax.lax.cummax(
+        jnp.where(change, bcnt - (1 - t32), jnp.asarray(-1, jnp.int32)))
+    run_builds = bcnt - base
+    start = bcnt - run_builds   # searchsorted-left for probe elements
+    # back to probe order: sort by original index; probes are the tail block
+    _, r_start, r_count = jax.lax.sort((s_iota, start, run_builds),
+                                       num_keys=1, is_stable=True)
+    return r_start[n:], r_count[n:]
 
 
 def expand_probe(sorted_key: jnp.ndarray, order: jnp.ndarray,
@@ -195,12 +234,30 @@ def expand_probe(sorted_key: jnp.ndarray, order: jnp.ndarray,
     All intermediates stay 1-D: a 2-D [n, K<128] int32 would be lane-padded
     to [n, 128] by the TPU tiling — 34GB for a 67M-row probe at SF10."""
     n = probe_key.shape[0]
-    start = jnp.searchsorted(sorted_key, probe_key, side="left")
-    end = jnp.searchsorted(sorted_key, probe_key, side="right")
-    count = jnp.where(alive, end - start, 0)
+    start, count = merge_starts(sorted_key, probe_key)
+    count = jnp.where(alive, count, 0)
     k_r = jnp.arange(n * max_matches, dtype=jnp.int32) % max_matches
     pos = jnp.repeat(start.astype(jnp.int32), max_matches) + k_r
     ok = k_r < jnp.repeat(count.astype(jnp.int32), max_matches)
     safe = jnp.clip(pos, 0, sorted_key.shape[0] - 1)
     rows = jnp.where(ok, order[safe].astype(jnp.int32), -1)
     return rows, count
+
+
+def merge_unique_probe(packed_build: jnp.ndarray, bmask: jnp.ndarray,
+                       packed_probe: jnp.ndarray, pmask: jnp.ndarray):
+    """Merge-join probe against a (nominally unique-key) build side. Returns
+    (build_row_idx (-1 if none), matched, dup) where dup flags duplicate live
+    build keys (the executor's cue to retry on the expansion path — the
+    kOutOfSpace analog). Replaces the open-addressing lockstep probe loop,
+    whose per-round full gather passes dominate join time on TPU."""
+    sorted_key, order = sorted_build(packed_build, bmask)
+    sent = jnp.iinfo(sorted_key.dtype).max
+    live_sorted = sorted_key != sent
+    dup = jnp.any((sorted_key == jnp.roll(sorted_key, 1)) & live_sorted &
+                  (jnp.arange(sorted_key.shape[0]) > 0))
+    start, count = merge_starts(sorted_key, packed_probe)
+    matched = pmask & (count > 0)
+    safe = jnp.clip(start, 0, order.shape[0] - 1)
+    bidx = jnp.where(matched, order[safe].astype(jnp.int32), -1)
+    return bidx, matched, dup
