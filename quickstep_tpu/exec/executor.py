@@ -448,7 +448,10 @@ class Executor:
             est = estimate_cardinality(plan, self.db, env)
         except Exception:
             est = float("inf")
-        want = K.next_pow2(int(min(max(4 * est, 1024), 16384)))
+        # Since only the prefix is materialized/shipped by the fast program,
+        # a generous prefix is cheap (128k rows x 10 cols x 8B ~ 10MB) while
+        # an overflow costs a full re-execution — size up.
+        want = K.next_pow2(int(min(max(8 * est, 4096), 1 << 17)))
         return min(capacity, want)
 
     def _compile_and_run(self, plan, inputs, meta, overrides):
@@ -460,45 +463,52 @@ class Executor:
         out_attrs = plan.output
         cached = self._compile_cache.get(fp)
         if cached is None:
-            def fn(dev_inputs):
-                runner = PlanRunner(plan, dev_inputs, meta, self.config,
-                                    overrides, mesh=self.mesh)
-                chunk = runner.exec(plan)
-                count = jnp.sum(chunk.alive.astype(jnp.int32))
-                # gather-based stable compaction: ONE payload sort + ONE
-                # row-packed gather instead of a scatter per column (TPU
-                # scatters are ~5x slower than gathers)
-                order = K.compact_order(chunk.alive)
-                # compose the compaction permutation with any pending lazy
-                # gather maps: payload bytes are gathered exactly once
-                ds, vs = chunk.take_columns(
-                    order, [a.expr_id for a in out_attrs])
-                datas = tuple(ds)
-                valids = tuple(vs)
-                prefix = self._result_prefix(plan, chunk.capacity)
-                sliced = (tuple(d[:prefix] for d in datas),
-                          tuple(None if v is None else v[:prefix]
-                                for v in valids))
-                if self.mesh is not None and jax.process_count() > 1:
-                    # multi-host: the result prefix + control scalars must be
-                    # fetchable on every process -> replicate (all-gather at
-                    # the program tail; conductor-and-peers all see results)
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-                    rep = NamedSharding(self.mesh, P())
-                    sliced = jax.lax.with_sharding_constraint(sliced, rep)
-                    count = jax.lax.with_sharding_constraint(count, rep)
-                    return datas, valids, sliced, count, \
-                        jax.lax.with_sharding_constraint(dict(runner.flags),
-                                                         rep)
-                return datas, valids, sliced, count, dict(runner.flags)
-            cached = jax.jit(fn)
+            def make_fn(full_out: bool):
+                def fn(dev_inputs):
+                    runner = PlanRunner(plan, dev_inputs, meta, self.config,
+                                        overrides, mesh=self.mesh)
+                    chunk = runner.exec(plan)
+                    count = jnp.sum(chunk.alive.astype(jnp.int32))
+                    # gather-based stable compaction: ONE payload sort + ONE
+                    # row-packed gather instead of a scatter per column (TPU
+                    # scatters are ~5x slower than gathers)
+                    order = K.compact_order(chunk.alive)
+                    prefix = self._result_prefix(plan, chunk.capacity)
+                    # The fast program (full_out=False) materializes and
+                    # returns ONLY the compacted result prefix: returning
+                    # full-capacity arrays makes the runtime ship them
+                    # per-execution (~3s for a 6M-row x 8-col result over the
+                    # tunnel) — that, not compute, dominated join-heavy query
+                    # "device" time through round 3. The full-output twin
+                    # compiles lazily and runs only on prefix overflow or for
+                    # the on-device presentation sort.
+                    take = order if full_out else order[:prefix]
+                    ds, vs = chunk.take_columns(
+                        take, [a.expr_id for a in out_attrs])
+                    if full_out:
+                        return tuple(ds), tuple(vs)
+                    sliced = (tuple(ds), tuple(vs))
+                    flags = dict(runner.flags)
+                    if self.mesh is not None and jax.process_count() > 1:
+                        # multi-host: the result prefix + control scalars must
+                        # be fetchable on every process -> replicate
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec as P)
+                        rep = NamedSharding(self.mesh, P())
+                        sliced = jax.lax.with_sharding_constraint(sliced, rep)
+                        count = jax.lax.with_sharding_constraint(count, rep)
+                        flags = jax.lax.with_sharding_constraint(flags, rep)
+                    return sliced, count, flags
+                return fn
+            cached = (jax.jit(make_fn(False)), jax.jit(make_fn(True)))
             while len(self._compile_cache) >= self._plan_cache_limit:
                 self._compile_cache.pop(next(iter(self._compile_cache)))
             self._compile_cache[fp] = cached
+        p_fast, p_full = cached
         t0 = time.perf_counter()
         K.reset_trace()
         self.dispatches = getattr(self, "dispatches", 0) + 1
-        datas, valids, sliced, count, flags = cached(inputs)
+        sliced, count, flags = p_fast(inputs)
         jax.block_until_ready(count)
         if K.TRACE["gathers"]:   # first call traced the plan: snapshot counts
             while len(self._plan_op_stats) >= self._plan_cache_limit:
@@ -514,7 +524,7 @@ class Executor:
             tp0 = time.perf_counter()
             self.dispatches += reps
             for _ in range(reps):
-                *_rest, last, _fl = cached(inputs)
+                _sl, last, _fl = p_fast(inputs)
             jax.block_until_ready(last)
             tp1 = time.perf_counter()
             dev_ms = (tp1 - tp0) / reps * 1000
@@ -530,7 +540,13 @@ class Executor:
                              "op_stats": self._plan_op_stats.get(fp)}
         if dev_ms is not None:
             self.last_profile["device_ms"] = dev_ms
-        outs = (datas, valids, int(n), host_sliced)
+
+        def full_thunk():
+            # prefix overflow / device presentation sort: re-run the plan
+            # through the full-output twin (compiled on first need)
+            self.dispatches = getattr(self, "dispatches", 0) + 1
+            return p_full(inputs)
+        outs = (full_thunk, int(n), host_sliced)
         return outs, host_flags, out_attrs
 
     def _check_flags(self, plan, flags, overrides) -> bool:
@@ -592,7 +608,7 @@ class Executor:
         the reference's SortRunGeneration + SortMergeRun pipeline
         (relational_operators/SortMergeRunOperator.hpp:72-129; one TPU sort
         replaces run generation + k-way merge)."""
-        n_result = outs[2]
+        n_result = outs[1]
         self.last_sort_path = "host"
         if (n_result >= self.config.device_sort_threshold_rows
                 and jax.process_count() == 1):
@@ -663,9 +679,10 @@ class Executor:
         standalone program, so no per-query compile churn. Returns
         (host_datas, host_valids, n_pulled) or None when a key is unsortable
         here (falls back to the host lexsort)."""
-        datas, valids, n, _pref = outs
-        if not datas:
+        full_thunk, n, (pref_d, _pv) = outs
+        if not pref_d:
             return None
+        datas, valids = full_thunk()
         capacity = int(jnp.shape(datas[0])[0])
         m = min(capacity, K.next_pow2(max(n, 8)))
         idx_of = {a.expr_id: i for i, a in enumerate(out_attrs)}
@@ -733,13 +750,14 @@ class Executor:
         """Device->host. The jitted program already returned a compacted result
         prefix in the single batched pull; only prefix overflow pays a second
         transfer of the full arrays."""
-        datas, valids, n, (pref_d, pref_v) = outs
+        full_thunk, n, (pref_d, pref_v) = outs
         prefix = int(np.shape(pref_d[0])[0]) if pref_d else 0
-        if n <= prefix or not datas:
+        if n <= prefix or not pref_d:
             host_d = [np.asarray(d)[:n] for d in pref_d]
             host_v = [None if v is None else np.asarray(v)[:n]
                       for v in pref_v]
             return host_d, host_v, n
+        datas, valids = full_thunk()
         capacity = int(jnp.shape(datas[0])[0])
         m = min(capacity, K.next_pow2(max(n, 8)))
         sliced_d = [d[:m] for d in datas]
