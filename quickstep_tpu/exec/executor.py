@@ -463,7 +463,15 @@ class Executor:
         out_attrs = plan.output
         cached = self._compile_cache.get(fp)
         if cached is None:
-            def make_fn(full_out: bool):
+            def make_fn(out_rows):
+                """out_rows=None: the fast program — materialize/ship ONLY
+                the compacted result prefix. Returning full-capacity arrays
+                makes the runtime ship them per-execution (~3s for a
+                6M-row x 8-col result over the tunnel) — that, not compute,
+                dominated join-heavy query "device" time through round 3.
+                out_rows=m: an overflow twin compiled per next_pow2(n)
+                bucket, run only when the prefix was too small or for the
+                on-device presentation sort."""
                 def fn(dev_inputs):
                     runner = PlanRunner(plan, dev_inputs, meta, self.config,
                                         overrides, mesh=self.mesh)
@@ -473,19 +481,11 @@ class Executor:
                     # row-packed gather instead of a scatter per column (TPU
                     # scatters are ~5x slower than gathers)
                     order = K.compact_order(chunk.alive)
-                    prefix = self._result_prefix(plan, chunk.capacity)
-                    # The fast program (full_out=False) materializes and
-                    # returns ONLY the compacted result prefix: returning
-                    # full-capacity arrays makes the runtime ship them
-                    # per-execution (~3s for a 6M-row x 8-col result over the
-                    # tunnel) — that, not compute, dominated join-heavy query
-                    # "device" time through round 3. The full-output twin
-                    # compiles lazily and runs only on prefix overflow or for
-                    # the on-device presentation sort.
-                    take = order if full_out else order[:prefix]
+                    rows = self._result_prefix(plan, chunk.capacity) \
+                        if out_rows is None else min(out_rows, chunk.capacity)
                     ds, vs = chunk.take_columns(
-                        take, [a.expr_id for a in out_attrs])
-                    if full_out:
+                        order[:rows], [a.expr_id for a in out_attrs])
+                    if out_rows is not None:
                         return tuple(ds), tuple(vs)
                     sliced = (tuple(ds), tuple(vs))
                     flags = dict(runner.flags)
@@ -500,11 +500,11 @@ class Executor:
                         flags = jax.lax.with_sharding_constraint(flags, rep)
                     return sliced, count, flags
                 return fn
-            cached = (jax.jit(make_fn(False)), jax.jit(make_fn(True)))
+            cached = (jax.jit(make_fn(None)), make_fn, {})
             while len(self._compile_cache) >= self._plan_cache_limit:
                 self._compile_cache.pop(next(iter(self._compile_cache)))
             self._compile_cache[fp] = cached
-        p_fast, p_full = cached
+        p_fast, p_make, p_fulls = cached
         t0 = time.perf_counter()
         K.reset_trace()
         self.dispatches = getattr(self, "dispatches", 0) + 1
@@ -541,11 +541,16 @@ class Executor:
         if dev_ms is not None:
             self.last_profile["device_ms"] = dev_ms
 
-        def full_thunk():
+        def full_thunk(m):
             # prefix overflow / device presentation sort: re-run the plan
-            # through the full-output twin (compiled on first need)
+            # through an overflow twin returning m compacted rows (compiled
+            # per next_pow2 bucket on first need)
             self.dispatches = getattr(self, "dispatches", 0) + 1
-            return p_full(inputs)
+            fn = p_fulls.get(m)
+            if fn is None:
+                fn = jax.jit(p_make(m))
+                p_fulls[m] = fn
+            return fn(inputs)
         outs = (full_thunk, int(n), host_sliced)
         return outs, host_flags, out_attrs
 
@@ -682,7 +687,7 @@ class Executor:
         full_thunk, n, (pref_d, _pv) = outs
         if not pref_d:
             return None
-        datas, valids = full_thunk()
+        datas, valids = full_thunk(K.next_pow2(max(n, 8)))
         capacity = int(jnp.shape(datas[0])[0])
         m = min(capacity, K.next_pow2(max(n, 8)))
         idx_of = {a.expr_id: i for i, a in enumerate(out_attrs)}
@@ -757,7 +762,7 @@ class Executor:
             host_v = [None if v is None else np.asarray(v)[:n]
                       for v in pref_v]
             return host_d, host_v, n
-        datas, valids = full_thunk()
+        datas, valids = full_thunk(K.next_pow2(max(n, 8)))
         capacity = int(jnp.shape(datas[0])[0])
         m = min(capacity, K.next_pow2(max(n, 8)))
         sliced_d = [d[:m] for d in datas]

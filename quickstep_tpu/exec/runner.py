@@ -288,6 +288,11 @@ class PlanRunner:
         if not node.group_by:
             return self._scalar_aggregate(node, chunk)
 
+        # snapshot slots BEFORE key evaluation: evaluation materializes lazy
+        # columns, but the sort path wants FD-determined group keys to stay
+        # lazy (fetched per group from a representative row); unused
+        # materializations are dead-code-eliminated by XLA
+        pre_slots = dict(chunk.slots)
         # evaluate group keys
         key_data, key_valid = [], []
         key_ranges = []
@@ -330,7 +335,8 @@ class PlanRunner:
             return self._dense_aggregate(node, chunk, key_data, key_ranges,
                                          agg_inputs)
         return self._sort_aggregate(node, chunk, key_data, key_valid,
-                                    agg_inputs, key_ranges=key_ranges)
+                                    agg_inputs, key_ranges=key_ranges,
+                                    pre_slots=pre_slots)
 
     def _dense_ok(self, key_ranges, key_valid) -> bool:
         if self.config.aggregate_hashtable_type == "sort":
@@ -434,24 +440,60 @@ class PlanRunner:
         return keep
 
     def _sort_aggregate(self, node, chunk, key_data, key_valid, agg_inputs,
-                        key_ranges=None):
-        subset = self._reduce_group_keys(node.group_by, chunk)
+                        key_ranges=None, pre_slots=None):
+        keep = self._reduce_group_keys(node.group_by, chunk)
+        # FD-determined group keys outside the sort cover need not ride the
+        # sort OR be materialized at input capacity: each group's value is
+        # fetched lazily from a representative row (rep_rows) — the big win
+        # for wide GROUP BYs over joins (e.g. 7 customer attrs keyed by
+        # c_custkey), where materializing each extra key column costs a full
+        # random-gather pass at joined capacity.
+        defer = []
+        for i, ge in enumerate(node.group_by):
+            if i in keep or pre_slots is None or key_valid[i] is not None \
+                    or not isinstance(ge, Attr):
+                continue
+            src = pre_slots.get(ge.expr_id)
+            if src is None:
+                continue
+            base = src.base if getattr(src, "lazy", False) else src[0]
+            base = jnp.asarray(base)
+            if base.ndim == 0 or \
+                    base.dtype != jnp.dtype(
+                        node.group_attrs[i].type.device_dtype):
+                continue
+            defer.append(i)
+        carried = [i for i in range(len(key_data)) if i not in defer]
+        sub_positions = [carried.index(i) for i in keep if i in carried]
         packed = None
         if key_ranges is not None:
             packed = self._pack_sort_key(
-                [key_data[i] for i in subset],
-                [key_valid[i] for i in subset],
-                [key_ranges[i] for i in subset])
-        out_keys, out_valids, occupied, _n_groups, results = G.sort_groupby(
-            key_data, key_valid, agg_inputs, chunk.alive, packed_key=packed,
-            sort_subset=subset)
+                [key_data[i] for i in keep],
+                [key_valid[i] for i in keep],
+                [key_ranges[i] for i in keep])
+        out_keys, out_valids, occupied, _n_groups, results, rep_rows = \
+            G.sort_groupby(
+                [key_data[i] for i in carried],
+                [key_valid[i] for i in carried],
+                agg_inputs, chunk.alive, packed_key=packed,
+                sort_subset=sub_positions, want_rows=True)
         capacity = chunk.capacity
         slots = {}
         ranges = {}
-        for a, kd, kv, ge in zip(node.group_attrs, out_keys, out_valids,
-                                 node.group_by):
-            slots[a.expr_id] = (kd.astype(a.type.device_dtype), kv)
+        for pos, i in enumerate(carried):
+            a, ge = node.group_attrs[i], node.group_by[i]
+            slots[a.expr_id] = (out_keys[pos].astype(a.type.device_dtype),
+                               out_valids[pos])
             ranges[a.expr_id] = infer_range(ge, chunk.ranges)
+        if defer:
+            tmp = dataclasses.replace(chunk, slots={
+                node.group_by[i].expr_id: pre_slots[node.group_by[i].expr_id]
+                for i in defer})
+            lazy_src = compose_slots(tmp, rep_rows, None)
+            for i in defer:
+                a, ge = node.group_attrs[i], node.group_by[i]
+                slots[a.expr_id] = lazy_src[ge.expr_id]
+                ranges[a.expr_id] = infer_range(ge, chunk.ranges)
         self._fill_agg_slots(node, results, slots, capacity)
         uniq = [frozenset(a.expr_id for a in node.group_attrs)]
         fds = [(uniq[0], frozenset(a.expr_id for a in node.output))]

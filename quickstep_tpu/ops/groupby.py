@@ -115,7 +115,7 @@ def _dense_groupby_broadcast(idx, domain: int, agg_specs: List[AggIn],
         key = id(valid)
         if key not in nn_cache:
             nn_cache[key] = jnp.sum(onehot & live[None, :], axis=1,
-                                    dtype=jnp.int64)
+                                    dtype=jnp.int32)
         nn = nn_cache[key]
         if fn == "count":
             data = nn
@@ -146,8 +146,9 @@ def _dense_groupby_scatter(idx, domain: int, agg_specs: List[AggIn],
     results = []
     for fn, vals, valid in agg_specs:
         live = alive & in_dom if valid is None else (alive & in_dom & valid)
-        nn = jnp.zeros((domain,), jnp.int64).at[idx].add(
-            live.astype(jnp.int64), mode="drop")
+        # int32 counts: bounded by capacity; 64-bit scatter-adds are emulated
+        nn = jnp.zeros((domain,), jnp.int32).at[idx].add(
+            live.astype(jnp.int32), mode="drop")
         if fn == "count":
             data = nn
         elif fn in ("sum", "avg"):
@@ -180,7 +181,8 @@ def sort_groupby(key_cols: List[jnp.ndarray],
                  agg_specs: List[AggIn],
                  alive: jnp.ndarray,
                  packed_key: Optional[jnp.ndarray] = None,
-                 sort_subset: Optional[List[int]] = None):
+                 sort_subset: Optional[List[int]] = None,
+                 want_rows: bool = False):
     """Sort-based group-by, gather/scatter-free.
 
     TPU-shaped: ONE payload-carrying `lax.sort` moves the key(s) and every
@@ -238,6 +240,11 @@ def sort_groupby(key_cols: List[jnp.ndarray],
                  for c, v in zip(key_cols, key_valids)]
     agg_slots = [(add_payload(v), add_payload(vd))
                  for _, v, vd in agg_specs]
+    # original-row payload: each output (group) row's representative input
+    # row — lets callers fetch FD-determined group attributes lazily per
+    # group instead of materializing them at input capacity (payload
+    # operands are ~free; random gathers are not)
+    rows_pos = add_payload(iota) if want_rows else None
 
     sorted_ops = jax.lax.sort(tuple(key_ops) + tuple(payloads),
                               num_keys=n_keys, is_stable=True)
@@ -297,7 +304,10 @@ def sort_groupby(key_cols: List[jnp.ndarray],
         sv = sp(vpos, vals) if vals is not None else None
         svalid = sp(vdpos, valid) if valid is not None else None
         live = s_alive if svalid is None else (s_alive & svalid)
-        Snn, nn_i = seg_sum(live.astype(jnp.int64))
+        # int32 prefix counts: nn is bounded by capacity (< 2^31), and the
+        # emulated-64-bit cumsum chain measurably dominates otherwise;
+        # COUNT's SQL LONG type is restored by the caller's output cast
+        Snn, nn_i = seg_sum(live.astype(jnp.int32))
         if fn == "count":
             plan_ops.append(("count", Snn, nn_i, None, None))
         elif fn in ("sum", "avg"):
@@ -325,7 +335,7 @@ def sort_groupby(key_cols: List[jnp.ndarray],
 
     results = []
     for fn, Snn, nn_i, Sv, aux in plan_ops:
-        nn_base = jnp.where(first_seg, jnp.zeros((), jnp.int64),
+        nn_base = jnp.where(first_seg, jnp.zeros((), Snn.dtype),
                             bases[nn_i])
         nn = Snn - nn_base
         if fn == "count":
@@ -347,6 +357,9 @@ def sort_groupby(key_cols: List[jnp.ndarray],
     for (cpos, vpos), col, valid in zip(key_slots, key_cols, key_valids):
         out_keys.append(sp(cpos, col))
         out_valids.append(sp(vpos, valid) if valid is not None else None)
+    if want_rows:
+        return out_keys, out_valids, last, n_groups, results, \
+            sorted_ops[rows_pos]
     return out_keys, out_valids, last, n_groups, results
 
 
