@@ -585,6 +585,57 @@ class Resolver:
         agg_attrs: List[OutAttr] = []
         agg_index: Dict[tuple, int] = {}
 
+        def _decimal_sum_guard(arg: Expr) -> Expr:
+            """SF100-scale overflow guard (ROUND3_NOTES hazard: Q1 sum_charge
+            units ~1.6e18 at SF10 but ~1.6e19 > 2^63 at SF100). Exact int64
+            unit accumulation is kept only when max|units| x an upper bound
+            on input rows provably fits int64; otherwise the sum falls back
+            to f64 accumulation of decoded values — still >= reference
+            precision (the reference's TPC-H DECIMALs are DOUBLE columns
+            throughout). Row bound: exact per-scan num_tuples; plans with
+            joins use 4x the scan-row sum (covers FK-shaped joins; a
+            pathological many-many expansion can exceed it, accepted and
+            documented — parity is f64 there anyway)."""
+            if not arg.type.is_decimal:
+                return arg
+            env: Dict[int, tuple] = {}
+            rows = 0
+            n_scans = 0
+            have_stats = True
+
+            def walk(n):
+                nonlocal rows, n_scans, have_stats
+                if isinstance(n, L.TableScan):
+                    n_scans += 1
+                    rel = self.db.get_relation(n.relation_name)
+                    if rel is None or rel.data is None:
+                        have_stats = False
+                        return
+                    rows += max(rel.num_tuples, 1)
+                    st = rel.statistics
+                    for a in n.attrs:
+                        if st.exact and a.name in st.min_values and \
+                                not a.type.is_string:
+                            try:
+                                env[a.expr_id] = (int(st.min_values[a.name]),
+                                                  int(st.max_values[a.name]))
+                            except (TypeError, ValueError):
+                                pass
+                for c in n.children():
+                    walk(c)
+            walk(plan)
+            from quickstep_tpu.optimizer.stats import infer_range
+            r = infer_range(arg, env)
+            if r is None or not have_stats or rows == 0:
+                return arg   # no information: keep the exact path (status quo)
+            if n_scans > 1:
+                rows *= 4
+            bound = max(abs(r[0]), abs(r[1])) * rows
+            if bound < (1 << 63):
+                return arg
+            return DecimalToDouble(operand=arg, type=DOUBLE.with_nullable(
+                arg.type.nullable))
+
         def make_agg(fc: A.FunctionCall) -> Attr:
             fn = fc.name
             if fc.is_star or (fn == "count" and not fc.args):
@@ -595,6 +646,8 @@ class Resolver:
                     raise ResolutionError(f"{fn} takes one argument",
                                           fc.line, fc.column)
                 arg = self._resolve_expr(fc.args[0], scope, state)
+                if fn in ("sum", "avg"):
+                    arg = _decimal_sum_guard(arg)
                 spec_key = (fn, fc.distinct, arg.key())
             if spec_key in agg_index:
                 i = agg_index[spec_key]
