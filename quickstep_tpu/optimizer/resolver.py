@@ -344,6 +344,42 @@ class Resolver:
             expanded.extend(_factor_common_disjuncts(f))
         filters = expanded
 
+        # Implied-predicate derivation from disjunctions (Q7/Q19 shape): for
+        # OR(AND(...), AND(...), ...) spanning several relations, each single
+        # relation R for which EVERY branch carries at least one R-only
+        # conjunct implies the pushable filter OR(AND(R-only conjs of b) for
+        # each branch b). The original residual stays; the derived filter
+        # lands on R's scan, so joins above run at filtered size instead of
+        # filtering only at the top. Sound under 3VL: a row passing the OR
+        # has a TRUE branch, whose R-only conjuncts are TRUE, making the
+        # derived OR TRUE. (The reference has no analog; its Q7/Q19 pay the
+        # full-size joins. This is the classic magic "implied local
+        # predicate" rewrite, here feeding the estimate-driven pre-join
+        # compaction so the derived selectivity shrinks every downstream
+        # join input.)
+        derived: List[Expr] = []
+        for f in filters:
+            if not (isinstance(f, Logical) and f.op == "OR"):
+                continue
+            branches = _split_disjuncts(f)
+            if len(branches) < 2:
+                continue
+            branch_conjs = [split_conjuncts(b) for b in branches]
+            for cid in comp_ids:
+                per_branch = []
+                for bc in branch_conjs:
+                    local = [c for c in bc
+                             if c.referenced_attrs()
+                             and c.referenced_attrs() <= cid]
+                    if not local:
+                        per_branch = None
+                        break
+                    per_branch.append(make_and(local))
+                if per_branch is not None:
+                    derived.append(Logical(op="OR", operands=per_branch,
+                                           type=INT))
+        filters = filters + derived
+
         def comp_of(ids: set) -> Optional[int]:
             for i, cid in enumerate(comp_ids):
                 if ids <= cid:

@@ -249,6 +249,19 @@ def estimate_cardinality(plan: L.LogicalNode, db,
         if plan.kind == "cross":
             return cl * cr
         if plan.kind in ("semi", "anti"):
+            # coverage model: the build side hits at most cr of the probe
+            # key's ndv distinct values, so a semi keeps ~cl * cr/ndv rows.
+            # anti stays at the conservative 0.5 (its output is driven by
+            # residuals/key coverage in ways the stats can't see, and an
+            # under-estimate costs a compaction-overflow retry).
+            ndv = 1.0
+            for lk in plan.left_keys:
+                if isinstance(lk, Attr):
+                    st = env.get(lk.expr_id)
+                    if st and st.ndv:
+                        ndv = max(ndv, st.ndv)
+            if plan.kind == "semi" and ndv > 1.0:
+                return max(1.0, cl * min(1.0, cr / ndv))
             return cl * 0.5
         # FK-style joins: when the build side is UNIQUE on the join keys
         # (PK), each probe row matches at most once, and under containment
@@ -359,12 +372,175 @@ def _unique_sets(plan: L.LogicalNode, db) -> List[frozenset]:
 
 def optimize_plan(plan: L.LogicalNode, config: Config, db) -> L.LogicalNode:
     env = collect_attr_stats(plan, db)
+    plan = _push_semi_into_aggregates(plan, db, env)
+    plan = _push_semi_to_leaves(plan, db, env)
     if config.reorder_hash_joins:
         plan = _reorder_joins(plan, db, env)
     plan = _order_conjuncts(plan, env)
     plan = _prune_columns(plan)
     _annotate_join_estimates(plan, db, env)
     return plan
+
+
+# ---- semi-join derivation / placement ----
+#
+# Together these two rewrites are the plan-level counterpart of the
+# reference's LIP-filter push (utility/lip_filter/LIPFilterGenerator.cpp
+# attaches bloom filters built from a selective join side to scans far below
+# the join): instead of runtime bloom probes, the planner inserts explicit
+# semi joins where they cut the most work, and the estimate-driven pre-join
+# compaction then runs every downstream operator at the filtered size.
+
+def _recurse_children(node, fn):
+    for f in dataclasses.fields(node) if dataclasses.is_dataclass(node) else []:
+        v = getattr(node, f.name)
+        if isinstance(v, L.LogicalNode):
+            setattr(node, f.name, fn(v))
+        elif isinstance(v, list) and v and isinstance(v[0], L.LogicalNode):
+            setattr(node, f.name, [fn(x) for x in v])
+    return node
+
+
+def _selective_source(n: L.LogicalNode, ids: set):
+    """Deepest restricted subtree of `n` (a Filter or semi/anti join) whose
+    output still covers the attr ids — the candidate build side for a derived
+    semi filter. Bare scans are never selective; unknown node kinds stop the
+    walk."""
+    if not ids or not ids <= {a.expr_id for a in n.output}:
+        return None
+    if isinstance(n, L.Filter):
+        return n
+    if isinstance(n, L.Project):
+        return _selective_source(n.input, ids)
+    if isinstance(n, L.Join):
+        if n.kind in ("semi", "anti"):
+            return n
+        if n.kind == "inner":
+            return (_selective_source(n.left, ids) or
+                    _selective_source(n.right, ids))
+        if n.kind == "left":
+            return _selective_source(n.left, ids)
+    return None
+
+
+def _push_semi_into_aggregates(node, db, env):
+    """Magic-set style rewrite for the decorrelated-subquery shape (Q17, Q2,
+    Q20): Join[X ⋈ Aggregate(group k)] where X's join key originates from a
+    selective subtree S. The aggregate then only needs groups whose key
+    appears in S, so a semi join against S (re-used, not recomputed — the
+    runner memoizes shared nodes) is inserted under the Aggregate. Correct
+    because the semi filter removes whole groups (every row of a group
+    shares the group key), never rows within a surviving group, and removed
+    groups could not have joined: every X key value flows from S's output."""
+    node = _recurse_children(node, lambda c: _push_semi_into_aggregates(
+        c, db, env))
+    if not (isinstance(node, L.Join) and node.left_keys and
+            node.kind in ("inner", "left", "semi") and not node.null_aware):
+        return node
+    wrappers = []
+    w = node.right
+    while isinstance(w, L.Filter):
+        wrappers.append(w)
+        w = w.input
+    if not isinstance(w, L.Aggregate) or not w.group_by:
+        return node
+    gmap = {a.expr_id: e for a, e in zip(w.group_attrs, w.group_by)}
+    pairs = []   # (group_by expr on agg input, source key expr)
+    src_ids: set = set()
+    for lk, rk in zip(node.left_keys, node.right_keys):
+        if (isinstance(rk, Attr) and rk.expr_id in gmap and
+                isinstance(gmap[rk.expr_id], Attr) and
+                isinstance(lk, Attr)):
+            pairs.append((gmap[rk.expr_id], lk))
+            src_ids.add(lk.expr_id)
+    if not pairs:
+        return node
+    chain = _selective_source(node.left, src_ids)
+    if chain is None:
+        return node
+    try:
+        if estimate_cardinality(chain, db, env) > \
+                0.2 * estimate_cardinality(w.input, db, env):
+            return node
+    except Exception:
+        return node
+    semi = L.Join(left=w.input, right=chain, kind="semi",
+                  left_keys=[p[0] for p in pairs],
+                  right_keys=[p[1] for p in pairs])
+    new_right = dataclasses.replace(w, input=semi)
+    for f in reversed(wrappers):
+        new_right = dataclasses.replace(f, input=new_right)
+    return dataclasses.replace(node, right=new_right)
+
+
+def _push_semi_to_leaves(node, db, env):
+    """Move a SELECTIVE semi/anti join from the top of an inner-join tree
+    down onto the leaf that produces its probe keys (Q18: the sum(qty)>300
+    orderkey set applies to the orders scan, not to the full
+    lineitem⋈orders⋈customer result). Valid through inner joins (per-row
+    semantics) when the residual touches only that leaf + the build side.
+    Only fires when the build covers a small fraction of the leaf key's
+    domain — an unselective semi (Q21's every-orderkey build) stays put,
+    where its probe input is smallest."""
+    node = _recurse_children(node, lambda c: _push_semi_to_leaves(c, db, env))
+    # null_aware semi/anti (IN / NOT IN) push too: their NULL-key behavior is
+    # per-row, so it is preserved by relocating the join (flag carried over).
+    if not (isinstance(node, L.Join) and node.kind in ("semi", "anti") and
+            node.left_keys and
+            isinstance(node.left, L.Join) and node.left.kind == "inner"):
+        return node
+    key_ids = set()
+    for lk in node.left_keys:
+        if not isinstance(lk, Attr):
+            return node
+        key_ids.add(lk.expr_id)
+    ndv = 1.0
+    for lk in node.left_keys:
+        st = env.get(lk.expr_id)
+        if st and st.ndv:
+            ndv = max(ndv, st.ndv)
+    if ndv <= 1.0:
+        return node
+    # Push only when probing at the leaf is no more expensive than probing
+    # here (leaf no bigger than the current probe input) AND the build
+    # plausibly filters (covers a fraction of the leaf key's domain) — the
+    # first condition alone rejects Q21 (probe shrinks 25x before the semi),
+    # the second rejects every-key builds that would filter nothing.
+    try:
+        coverage = estimate_cardinality(node.right, db, env) / ndv
+        probe_est = estimate_cardinality(node.left, db, env)
+    except Exception:
+        return node
+    if coverage > 0.6:
+        return node
+    build_ids = {a.expr_id for a in node.right.output}
+    resid_ids = node.residual.referenced_attrs() if node.residual else set()
+
+    def replace_leaf(n):
+        if isinstance(n, L.Join) and n.kind == "inner":
+            nl = replace_leaf(n.left)
+            if nl is not None:
+                return dataclasses.replace(n, left=nl)
+            nr = replace_leaf(n.right)
+            if nr is not None:
+                return dataclasses.replace(n, right=nr)
+            return None
+        leaf_ids = {a.expr_id for a in n.output}
+        if key_ids <= leaf_ids and resid_ids <= (leaf_ids | build_ids):
+            try:
+                if estimate_cardinality(n, db, env) > 1.25 * probe_est:
+                    return None
+            except Exception:
+                return None
+            return L.Join(left=n, right=node.right, kind=node.kind,
+                          left_keys=node.left_keys,
+                          right_keys=node.right_keys,
+                          residual=node.residual,
+                          null_aware=node.null_aware)
+        return None
+
+    pushed = replace_leaf(node.left)
+    return pushed if pushed is not None else node
 
 
 def _annotate_join_estimates(node: L.LogicalNode, db, env) -> None:
