@@ -288,6 +288,21 @@ class PlanRunner:
         if not node.group_by:
             return self._scalar_aggregate(node, chunk)
 
+        # Estimate-driven compaction of the aggregate input (same protocol as
+        # pre-join compaction, same retry flag): a grouped aggregate's sort
+        # runs at its input CAPACITY, so a selective upstream (Q17/Q20's
+        # semi-filtered fact scans) only pays off if the live rows are
+        # compacted first. Under-estimates raise compact_probe_<idx> and the
+        # standard retry re-runs uncompacted.
+        idx0 = self.node_index[id(node)]
+        ov0 = self.overrides.get(idx0)
+        ovg = self.overrides.get(-1)
+        chunk = self._est_compact(
+            chunk, getattr(node, "est_input_rows", None),
+            (ov0 is not None and ov0.no_compact_probe) or
+            (ovg is not None and ovg.no_compact_probe),
+            f"compact_probe_{idx0}")
+
         # snapshot slots BEFORE key evaluation: evaluation materializes lazy
         # columns, but the sort path wants FD-determined group keys to stay
         # lazy (fetched per group from a representative row); unused

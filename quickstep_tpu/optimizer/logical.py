@@ -166,6 +166,10 @@ class Aggregate(LogicalNode):
     group_attrs: List[OutAttr] = dataclasses.field(default_factory=list)
     aggregates: List[AggregateSpec] = dataclasses.field(default_factory=list)
     agg_attrs: List[OutAttr] = dataclasses.field(default_factory=list)
+    # cost-model input-cardinality estimate (rules._annotate_join_estimates):
+    # drives pre-aggregate dynamic compaction so the group-by sort runs at
+    # the estimated live size, not the upstream capacity
+    est_input_rows: Optional[float] = None
 
     @property
     def output(self):

@@ -559,6 +559,12 @@ def _annotate_join_estimates(node: L.LogicalNode, db, env) -> None:
                                                              env))
         except Exception:
             pass
+    if isinstance(node, L.Aggregate) and node.group_by:
+        try:
+            node.est_input_rows = float(estimate_cardinality(node.input, db,
+                                                             env))
+        except Exception:
+            pass
 
 
 def _order_conjuncts(node: L.LogicalNode, env) -> L.LogicalNode:
