@@ -455,6 +455,11 @@ class Executor:
         return min(capacity, want)
 
     def _compile_and_run(self, plan, inputs, meta, overrides):
+        # Row-packed gathers allocate a lane-padded transient (n x 128 x 4B);
+        # under an explicit HBM budget, keep that transient to a fraction of
+        # the budget so streamed plans retain their working-set headroom.
+        K.PACK_PAD_LIMIT = min(5 << 30, self.config.hbm_budget_bytes // 3) \
+            if self.config.hbm_budget_bytes else (5 << 30)
         fp = (_fingerprint(plan),
               tuple(sorted((k, m["capacity"], m["version"])
                            for k, m in meta.items())),

@@ -365,6 +365,15 @@ class PlanRunner:
             domain *= (r[1] - r[0] + 1)
             if domain > self.config.collision_free_domain_limit:
                 return False
+        # Above the broadcast variant's reach, dense means SCATTER-adds —
+        # measured 74ms per 1M rows on v5e (Q15's 10k-supplier group-by,
+        # round-4 fusion profile) vs ~5ms for the payload sort + prefix
+        # path. The sort path also rides pre-aggregate compaction. Dense
+        # stays for the Q1-class tiny domains where masked broadcast
+        # reductions beat everything (zero data movement).
+        if domain > G.BROADCAST_DOMAIN_LIMIT and not getattr(
+                self.config, "use_pallas_groupby", False):
+            return False
         return True
 
     def _dense_layout(self, key_ranges):

