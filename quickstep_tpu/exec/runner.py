@@ -304,23 +304,72 @@ class PlanRunner:
             f"compact_probe_{idx0}")
 
         # snapshot slots BEFORE key evaluation: evaluation materializes lazy
-        # columns, but the sort path wants FD-determined group keys to stay
-        # lazy (fetched per group from a representative row); unused
-        # materializations are dead-code-eliminated by XLA
+        # columns, and the sort path fetches FD-determined group keys lazily
+        # (per group, from a representative row)
         pre_slots = dict(chunk.slots)
-        # evaluate group keys
-        key_data, key_valid = [], []
-        key_ranges = []
-        for ge in node.group_by:
-            d, v = self._eval(chunk, ge)
-            d, v = chunk.broadcast(d, v)
-            key_data.append(d)
-            key_valid.append(v)
-            key_ranges.append(infer_range(ge, chunk.ranges))
+        distinct_flags = [s.distinct for s in node.aggregates]
+
+        # Decide FD-deferral BEFORE evaluating any key: evaluating a deferred
+        # key would issue its full-capacity gather even though the sort path
+        # never reads it (profiled on Q18: one ~72ms 8.4M-row gather PER key
+        # column — ensure() batches within one call, not across the per-key
+        # _eval calls). Deferral needs: outside the minimal sort cover,
+        # a plain Attr over a non-null slot with the output dtype.
+        keep = self._reduce_group_keys(node.group_by, chunk)
+        defer = set()
+        if not any(distinct_flags):
+            for i, ge in enumerate(node.group_by):
+                if i in keep or not isinstance(ge, Attr):
+                    continue
+                src = chunk.slots.get(ge.expr_id)
+                if src is None:
+                    continue
+                if getattr(src, "lazy", False):
+                    nonnull = src.base_valid is None and src.rid.ok is None
+                    base = jnp.asarray(src.base)
+                else:
+                    nonnull = src[1] is None
+                    base = jnp.asarray(src[0])
+                if nonnull and base.ndim != 0 and base.dtype == jnp.dtype(
+                        node.group_attrs[i].type.device_dtype):
+                    defer.add(i)
+
+        key_ranges = [infer_range(ge, chunk.ranges) for ge in node.group_by]
+
+        def eval_keys(skip: set):
+            # ONE row-packed gather per shared RowIds for everything the
+            # evaluated keys + agg inputs touch, then evaluate
+            need = set()
+            for i, ge in enumerate(node.group_by):
+                if i not in skip:
+                    need |= ge.referenced_attrs()
+            for spec in node.aggregates:
+                if spec.arg is not None:
+                    need |= spec.arg.referenced_attrs()
+            chunk.ensure([e for e in need if e in chunk.slots])
+            kd, kv = [], []
+            for i, ge in enumerate(node.group_by):
+                if i in skip:
+                    kd.append(None)
+                    kv.append(None)
+                    continue
+                d, v = self._eval(chunk, ge)
+                d, v = chunk.broadcast(d, v)
+                kd.append(d)
+                kv.append(v)
+            return kd, kv
+
+        key_data, key_valid = eval_keys(defer)
+        use_dense = self._dense_ok(key_ranges, key_valid)
+        if use_dense and defer:
+            # dense needs every key materialized (tiny domains only — cheap)
+            defer = set()
+            key_data, key_valid = eval_keys(defer)
 
         # Rows with a NULL group key are skipped entirely, matching the
         # reference's hash tables (storage/HashTableKeyManager.hpp — null keys
-        # are never inserted, so they vanish from GROUP BY output).
+        # are never inserted, so they vanish from GROUP BY output). Deferred
+        # keys are non-null by construction.
         alive = chunk.alive
         for v in key_valid:
             if v is not None:
@@ -329,7 +378,6 @@ class PlanRunner:
             chunk = dataclasses.replace(chunk, alive=alive)
 
         agg_inputs = []
-        distinct_flags = []
         for spec in node.aggregates:
             if spec.arg is None:
                 agg_inputs.append((spec.fn, None, None))
@@ -340,9 +388,7 @@ class PlanRunner:
                                   spec.arg.type.is_decimal):
                     d = d.astype(jnp.int64)
                 agg_inputs.append((spec.fn, d, v))
-            distinct_flags.append(spec.distinct)
 
-        use_dense = self._dense_ok(key_ranges, key_valid)
         if any(distinct_flags):
             return self._distinct_aggregate(node, chunk, key_data, key_valid,
                                             agg_inputs, distinct_flags, key_ranges)
@@ -351,7 +397,8 @@ class PlanRunner:
                                          agg_inputs)
         return self._sort_aggregate(node, chunk, key_data, key_valid,
                                     agg_inputs, key_ranges=key_ranges,
-                                    pre_slots=pre_slots)
+                                    pre_slots=pre_slots, keep=keep,
+                                    defer=defer)
 
     def _dense_ok(self, key_ranges, key_valid) -> bool:
         if self.config.aggregate_hashtable_type == "sort":
@@ -464,29 +511,36 @@ class PlanRunner:
         return keep
 
     def _sort_aggregate(self, node, chunk, key_data, key_valid, agg_inputs,
-                        key_ranges=None, pre_slots=None):
-        keep = self._reduce_group_keys(node.group_by, chunk)
+                        key_ranges=None, pre_slots=None, keep=None,
+                        defer=None):
+        if keep is None:
+            keep = self._reduce_group_keys(node.group_by, chunk)
         # FD-determined group keys outside the sort cover need not ride the
         # sort OR be materialized at input capacity: each group's value is
         # fetched lazily from a representative row (rep_rows) — the big win
         # for wide GROUP BYs over joins (e.g. 7 customer attrs keyed by
         # c_custkey), where materializing each extra key column costs a full
-        # random-gather pass at joined capacity.
-        defer = []
-        for i, ge in enumerate(node.group_by):
-            if i in keep or pre_slots is None or key_valid[i] is not None \
-                    or not isinstance(ge, Attr):
-                continue
-            src = pre_slots.get(ge.expr_id)
-            if src is None:
-                continue
-            base = src.base if getattr(src, "lazy", False) else src[0]
-            base = jnp.asarray(base)
-            if base.ndim == 0 or \
-                    base.dtype != jnp.dtype(
-                        node.group_attrs[i].type.device_dtype):
-                continue
-            defer.append(i)
+        # random-gather pass at joined capacity. The deferral set is decided
+        # in _exec_Aggregate BEFORE key evaluation (so deferred keys are
+        # never gathered at input capacity); the fallback below covers
+        # callers that evaluated everything (distinct path).
+        if defer is None:
+            defer = []
+            for i, ge in enumerate(node.group_by):
+                if i in keep or pre_slots is None or key_valid[i] is not None \
+                        or not isinstance(ge, Attr):
+                    continue
+                src = pre_slots.get(ge.expr_id)
+                if src is None:
+                    continue
+                base = src.base if getattr(src, "lazy", False) else src[0]
+                base = jnp.asarray(base)
+                if base.ndim == 0 or \
+                        base.dtype != jnp.dtype(
+                            node.group_attrs[i].type.device_dtype):
+                    continue
+                defer.append(i)
+        defer = sorted(defer)
         carried = [i for i in range(len(key_data)) if i not in defer]
         sub_positions = [carried.index(i) for i in keep if i in carried]
         packed = None

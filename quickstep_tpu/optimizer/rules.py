@@ -23,7 +23,7 @@ import numpy as np
 
 from quickstep_tpu.config import Config
 from quickstep_tpu.expressions.scalar import (
-    Expr, Attr, Lit, Cmp, Logical, Not, InSet, DictBitmapProbe, IsNull,
+    Expr, Attr, Lit, Cmp, Logical, Not, InSet, DictBitmapProbe, IsNull, Case,
 )
 from quickstep_tpu.optimizer import logical as L
 
@@ -374,6 +374,7 @@ def optimize_plan(plan: L.LogicalNode, config: Config, db) -> L.LogicalNode:
     env = collect_attr_stats(plan, db)
     plan = _push_semi_into_aggregates(plan, db, env)
     plan = _push_semi_to_leaves(plan, db, env)
+    plan = _eager_aggregate_pushdown(plan, db, env)
     if config.reorder_hash_joins:
         plan = _reorder_joins(plan, db, env)
     plan = _order_conjuncts(plan, env)
@@ -471,6 +472,89 @@ def _push_semi_into_aggregates(node, db, env):
     for f in reversed(wrappers):
         new_right = dataclasses.replace(f, input=new_right)
     return dataclasses.replace(node, right=new_right)
+
+
+def _eager_aggregate_pushdown(node, db, env):
+    """Eager aggregation (Yan & Larson): Aggregate over a PK-FK join whose
+    group keys contain a unique key of the probe side and whose aggregate
+    args all come from the build side becomes
+
+        Project( Join(L, Aggregate(R group by fk)) )
+
+    — the Q13 shape. The expansion join at |L| x K capacity and the group-by
+    over it collapse into one |R|-row aggregate plus a unique join at |L|.
+    Each group is exactly one L row (group keys unique on L), so the pushed
+    per-fk partial IS the final aggregate; LEFT-join NULL partials restore
+    the empty-group semantics (COUNT wrapped to 0, SUM/MIN/MAX/AVG stay
+    NULL). The reference has no counterpart; its Q13 runs the join first
+    (relational_operators/HashJoinOperator + AggregationOperator)."""
+    node = _recurse_children(node, lambda c: _eager_aggregate_pushdown(
+        c, db, env))
+    if not (isinstance(node, L.Aggregate) and node.group_by and
+            isinstance(node.input, L.Join)):
+        return node
+    j = node.input
+    if j.kind not in ("inner", "left") or not j.left_keys or j.null_aware:
+        return node
+    left_ids = {a.expr_id for a in j.left.output}
+    right_ids = {a.expr_id for a in j.right.output}
+    if j.residual is not None:
+        # an R-only ON-residual (Q13's o_comment NOT LIKE) is equivalent to
+        # pre-filtering R: failing rows simply never match, for LEFT and
+        # INNER alike
+        if not j.residual.referenced_attrs() <= right_ids:
+            return node
+        j = dataclasses.replace(j, right=L.Filter(input=j.right,
+                                                  predicate=j.residual),
+                                residual=None)
+    for ge in node.group_by:
+        if not (isinstance(ge, Attr) and ge.expr_id in left_ids):
+            return node
+    if not keys_unique(j.left, list(node.group_by), db):
+        return node
+    for s in node.aggregates:
+        if s.distinct or s.fn not in ("count", "sum", "min", "max", "avg"):
+            return node
+        if s.arg is None:   # COUNT(*) counts the NULL-extended row itself
+            return node
+        refs = s.arg.referenced_attrs()
+        if not refs or not refs <= right_ids:
+            return node
+    for a in node.agg_attrs:
+        if a.type.is_string:
+            return node     # dictionary plumbing not worth the edge case
+    try:
+        # pushing aggregates R in full; skip when the join would have thrown
+        # most of R away first
+        if estimate_cardinality(j, db, env) < \
+                0.3 * estimate_cardinality(j.right, db, env):
+            return node
+    except Exception:
+        return node
+
+    from quickstep_tpu.optimizer.logical import next_expr_id
+    g_attrs = [L.OutAttr(next_expr_id(), f"eagg_k{i}", k.type)
+               for i, k in enumerate(j.right_keys)]
+    inner = L.Aggregate(
+        input=j.right, group_by=list(j.right_keys), group_attrs=g_attrs,
+        aggregates=[dataclasses.replace(s) for s in node.aggregates],
+        agg_attrs=[L.OutAttr(next_expr_id(), f"eagg_{i}", a.type)
+                   for i, a in enumerate(node.agg_attrs)])
+    new_join = L.Join(
+        left=j.left, right=inner, kind=j.kind,
+        left_keys=list(j.left_keys),
+        right_keys=[Attr(expr_id=ga.expr_id, name=ga.name, type=ga.type)
+                    for ga in g_attrs])
+    exprs: List[Expr] = list(node.group_by)
+    for s, ia, oa in zip(node.aggregates, inner.agg_attrs, node.agg_attrs):
+        ref = Attr(expr_id=ia.expr_id, name=ia.name, type=oa.type)
+        if s.fn == "count":
+            ref = Case(when_clauses=[(IsNull(operand=ref, negated=True,
+                                             type=oa.type), ref)],
+                       else_result=Lit(value=0, type=oa.type),
+                       type=oa.type)
+        exprs.append(ref)
+    return L.Project(input=new_join, exprs=exprs, attrs=list(node.output))
 
 
 def _push_semi_to_leaves(node, db, env):
