@@ -12,6 +12,7 @@ DeleteOperator / TextScanOperator / TableExportOperator / DropTableOperator.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -505,7 +506,22 @@ class Executor:
                         flags = jax.lax.with_sharding_constraint(flags, rep)
                     return sliced, count, flags
                 return fn
-            cached = (jax.jit(make_fn(None)), make_fn, {})
+            hlo_dir = os.environ.get("QSTPU_HLO_DUMP")
+            if hlo_dir:
+                # profiling path (tools/op_profile.py): AOT-compile so the
+                # optimized HLO (with named_scope op metadata) can be saved —
+                # compiled.as_text() fetches it even under the axon tunnel
+                os.makedirs(hlo_dir, exist_ok=True)
+                compiled = jax.jit(make_fn(None)).lower(inputs).compile()
+                try:
+                    with open(os.path.join(
+                            hlo_dir, f"plan_{abs(hash(fp))}.txt"), "w") as f:
+                        f.write(compiled.as_text())
+                except Exception:
+                    pass
+                cached = (compiled, make_fn, {})
+            else:
+                cached = (jax.jit(make_fn(None)), make_fn, {})
             while len(self._compile_cache) >= self._plan_cache_limit:
                 self._compile_cache.pop(next(iter(self._compile_cache)))
             self._compile_cache[fp] = cached

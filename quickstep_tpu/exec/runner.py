@@ -102,7 +102,12 @@ class PlanRunner:
         m = getattr(self, f"_exec_{type(node).__name__}", None)
         if m is None:
             raise ExecutionError(f"no executor for {type(node).__name__}")
-        return m(node)
+        # named_scope threads the plan-node identity into HLO op metadata, so
+        # profiler fusions attribute back to operators (tools/op_profile.py) —
+        # the per-WorkOrder timing analog (query_execution/Worker.cpp:136)
+        idx = self.node_index.get(id(node), -1)
+        with jax.named_scope(f"qop{idx}_{type(node).__name__}"):
+            return m(node)
 
     def _exec_memo(self, plan: L.LogicalNode) -> Chunk:
         key = id(plan)
@@ -1101,12 +1106,6 @@ class PlanRunner:
         if bxv is not None:
             return None  # null semantics in min/max stats: fall back
         key_ranges = self._key_ranges(node.right_keys, build)
-        packed = self._pack_sort_key(bk_data, [None] * len(bk_data), key_ranges)
-        out_keys, _, galive, _n_groups, results = G.sort_groupby(
-            bk_data, [None] * len(bk_data),
-            [("min", bx, None), ("max", bx, None)],
-            bmask, packed_key=packed)
-        # unique join: probe keys -> group row (group keys are unique).
         # Merge probe needs an injective packing valid for BOTH sides, so
         # the pack ranges are the union of build/probe key ranges.
         pranges = self._key_ranges(node.left_keys, probe)
@@ -1115,13 +1114,36 @@ class PlanRunner:
                 all(r is not None for r in pranges):
             merged_ranges = [(min(a[0], b[0]), max(a[1], b[1]))
                              for a, b in zip(key_ranges, pranges)]
-        packed_g = packed_pk = None
+        packed_b = packed_pk = None
         if merged_ranges is not None:
-            packed_g = self._pack_sort_key(
-                out_keys, [None] * len(out_keys), merged_ranges)
+            packed_b = self._pack_sort_key(
+                bk_data, [None] * len(bk_data), merged_ranges)
             packed_pk = self._pack_sort_key(
                 pk_data, [None] * len(pk_data), merged_ranges)
-        if packed_g is not None and packed_pk is not None:
+        px, pxv = probe.broadcast(*self._eval(probe, probe_expr))
+        if packed_b is not None and packed_pk is not None and \
+                jnp.issubdtype(bx.dtype, jnp.integer) and \
+                jnp.iinfo(bx.dtype).bits <= 32 and \
+                jnp.issubdtype(px.dtype, jnp.integer) and \
+                jnp.iinfo(px.dtype).bits <= 32:
+            # fused merge-cmp semi join: one concat sort + segmented scans +
+            # a single-operand sort-back (no group materialization, no stat
+            # gathers, no full-width probe comparisons in probe order)
+            matched = J.merge_cmp_probe(packed_b, bmask, bx,
+                                        packed_pk, pmask, px, op)
+            if pxv is not None:
+                matched = matched & pxv
+            if node.kind == "anti":
+                matched = ~matched
+            return dataclasses.replace(probe, alive=probe.alive & matched)
+        # fallback (wide values / unpackable keys): grouped stats + probe
+        out_keys, _, galive, _n_groups, results = G.sort_groupby(
+            bk_data, [None] * len(bk_data),
+            [("min", bx, None), ("max", bx, None)],
+            bmask, packed_key=packed_b)
+        if packed_b is not None and packed_pk is not None:
+            packed_g = self._pack_sort_key(
+                out_keys, [None] * len(out_keys), merged_ranges)
             gidx, matched, _dup = J.merge_unique_probe(
                 packed_g.astype(jnp.int64), galive,
                 packed_pk.astype(jnp.int64), pmask)
@@ -1131,10 +1153,12 @@ class PlanRunner:
             gidx, matched = J.oa_probe(table, out_keys, pk_data, pmask)
         safe = jnp.clip(gidx, 0, build.capacity - 1)
         gmin, gmax = K.multi_gather([results[0][0], results[1][0]], safe)
-        px, pxv = probe.broadcast(*self._eval(probe, probe_expr))
         # exists x in group with (probe_val OP' x)? where op is probe OP build:
         # evaluate via extremes
-        px64 = px.astype(gmin.dtype)
+        cmp_t = jnp.promote_types(px.dtype, gmin.dtype)
+        px64 = px.astype(cmp_t)
+        gmin = gmin.astype(cmp_t)
+        gmax = gmax.astype(cmp_t)
         if op == "<>":
             hit = (gmin != px64) | (gmax != px64)
         elif op == "<":      # probe < x for some x  <=>  probe < max

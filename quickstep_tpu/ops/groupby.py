@@ -176,6 +176,59 @@ def _dense_groupby_scatter(idx, domain: int, agg_specs: List[AggIn],
 # generic sort-based path
 # ---------------------------------------------------------------------
 
+def _seg_fill(marks: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Forward-fill `vals` from marked rows to every following row (up to the
+    next mark) WITHOUT a gather: pack (mark_rank << 32 | value_bits) and take
+    one native int64 cummax per 32-bit half. Rank strictly increases at each
+    mark and non-mark rows contribute 0, so the cummax propagates exactly the
+    latest mark's bits — value bits are ballast, never compared (each segment
+    has ONE mark). Rows before the first mark decode to zero-bits. 64-bit
+    values ride as two independent halves. cummax runs at memory speed on
+    v5e; the gather this replaces costs ~73ms per 8.4M rows."""
+    r = jnp.cumsum(marks.astype(jnp.int32)).astype(jnp.int64)
+
+    def fill32(bits32):   # bits32: uint32 view of the payload
+        packed = jnp.where(marks, (r << 32) | bits32.astype(jnp.int64),
+                           jnp.int64(0))
+        return (jax.lax.cummax(packed) &
+                jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    dt = vals.dtype
+    if dt.itemsize <= 4:
+        iv = jax.lax.bitcast_convert_type(
+            vals.astype(jnp.int32) if dt != jnp.float32 else vals,
+            jnp.uint32)
+        out = fill32(iv)
+        if dt == jnp.float32:
+            return jax.lax.bitcast_convert_type(out, jnp.float32)
+        return jax.lax.bitcast_convert_type(out, jnp.int32).astype(dt)
+    iv = jax.lax.bitcast_convert_type(
+        vals.astype(jnp.int64) if dt != jnp.float64 else vals, jnp.uint64)
+    hi = fill32((iv >> 32).astype(jnp.uint32))
+    lo = fill32((iv & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    out = (hi.astype(jnp.uint64) << 32) | lo.astype(jnp.uint64)
+    if dt == jnp.float64:
+        return jax.lax.bitcast_convert_type(out, jnp.float64)
+    return jax.lax.bitcast_convert_type(out, jnp.int64).astype(dt)
+
+
+def _seg_minmax32(change: jnp.ndarray, contrib: jnp.ndarray,
+                  is_max: bool) -> jnp.ndarray:
+    """Running segmented min/max for <=32-bit values via ONE int64 cummax of
+    (segment_rank << 32 | biased value): a later segment's rank dominates, so
+    the scan restarts at boundaries; within a segment the biased value
+    decides. At each segment's last row this is the segment aggregate —
+    replaces the scatter-into-slots + gather-back pair."""
+    r = jnp.cumsum(change.astype(jnp.int32)).astype(jnp.int64)
+    v64 = contrib.astype(jnp.int64)
+    bias = jnp.int64(jnp.iinfo(jnp.int32).min)
+    enc = (v64 - bias) if is_max else (jnp.int64(0xFFFFFFFF) - (v64 - bias))
+    packed = jax.lax.cummax((r << 32) | enc)
+    dec = packed & jnp.int64(0xFFFFFFFF)
+    dec = (dec + bias) if is_max else ((jnp.int64(0xFFFFFFFF) - dec) + bias)
+    return dec.astype(contrib.dtype)
+
+
 def sort_groupby(key_cols: List[jnp.ndarray],
                  key_valids: List[Optional[jnp.ndarray]],
                  agg_specs: List[AggIn],
@@ -274,80 +327,86 @@ def sort_groupby(key_cols: List[jnp.ndarray],
     nxt_alive = jnp.roll(s_alive, -1)
     last = s_alive & ((iota == capacity - 1) | nxt_change | ~nxt_alive)
 
-    # Segmented reductions WITHOUT jax.lax.associative_scan: the generic
-    # scan's custom combine explodes the XLA:TPU compile (measured: an
+    # Segmented reductions WITHOUT jax.lax.associative_scan (the generic
+    # scan's custom combine explodes the XLA:TPU compile — measured: an
     # 8M-row associative_scan compiles for hours while cumsum/cummax/sort
-    # compile in minutes). Instead:
-    #   SUM/COUNT — native prefix cumsum; the per-segment total at each row
-    #     is S[row] - S[segment_start - 1], with the base fetched by ONE
-    #     row-packed gather at the (monotone, cummax-filled) segment starts.
-    #     Exact for integer/decimal sums; f64 sums lose only difference-of-
-    #     prefix rounding (~1e-11 rel at 8M rows), inside oracle tolerance.
-    #   MIN/MAX — scatter-min/max into per-segment slots by segment id
-    #     (cumsum of boundary flags), read back through the same gather.
+    # compile in minutes) and WITHOUT random gathers (the former
+    # base-prefix gather cost ~73ms per 8.4M rows per operand group):
+    #   SUM/COUNT — native prefix cumsum; per-segment total at each row is
+    #     S[row] - S[segment_start - 1]. The base S[start-1] equals
+    #     (S - contrib) AT the segment-start row, propagated to the rest of
+    #     its segment by _seg_fill's packed cummax — gather-free, exact for
+    #     integer/decimal sums; f64 sums lose only difference-of-prefix
+    #     rounding (~1e-11 rel at 8M rows), inside oracle tolerance.
+    #   MIN/MAX — <=32-bit signed values ride _seg_minmax32's single packed
+    #     cummax; wider values keep the scatter-into-slots + gather-back.
     sid = jnp.cumsum(change.astype(jnp.int32)) - 1          # segment index
-    seg_start = jax.lax.cummax(jnp.where(change, iota, -1))  # start row idx
-    base_idx = jnp.clip(seg_start - 1, 0, capacity - 1)
-    first_seg = seg_start <= 0
     sid_safe = jnp.clip(sid, 0, capacity - 1)
 
-    prefix_ops = []   # arrays to gather at base_idx
-    slot_ops = []     # arrays to gather at sid_safe
-    plan_ops = []     # (fn-kind, indices into the op lists)
+    slot_ops = []     # arrays to gather at sid_safe (wide min/max only)
+    plan_ops = []     # (fn-kind, nn, data-or-slot-index)
 
     def seg_sum(contrib):
         S = jnp.cumsum(contrib)
-        prefix_ops.append(S)
-        return S, len(prefix_ops) - 1
+        base = _seg_fill(change, S - contrib)
+        return S - base
+
+    nn_cache = {}
+
+    def live_count(live):
+        key = id(live)
+        if key not in nn_cache:
+            nn_cache[key] = seg_sum(live.astype(jnp.int32))
+        return nn_cache[key]
 
     for (fn, vals, valid), (vpos, vdpos) in zip(agg_specs, agg_slots):
         sv = sp(vpos, vals) if vals is not None else None
         svalid = sp(vdpos, valid) if valid is not None else None
         live = s_alive if svalid is None else (s_alive & svalid)
-        # int32 prefix counts: nn is bounded by capacity (< 2^31), and the
-        # emulated-64-bit cumsum chain measurably dominates otherwise;
-        # COUNT's SQL LONG type is restored by the caller's output cast
-        Snn, nn_i = seg_sum(live.astype(jnp.int32))
+        # int32 prefix counts: nn is bounded by capacity (< 2^31); COUNT's
+        # SQL LONG type is restored by the caller's output cast
+        nn = live_count(live)
         if fn == "count":
-            plan_ops.append(("count", Snn, nn_i, None, None))
+            plan_ops.append(("count", nn, None))
         elif fn in ("sum", "avg"):
             contrib = jnp.where(live, sv, jnp.zeros((), sv.dtype))
-            Sv, v_i = seg_sum(contrib)
-            plan_ops.append((fn, Snn, nn_i, Sv, v_i))
+            plan_ops.append((fn, nn, seg_sum(contrib)))
         elif fn in ("min", "max"):
-            if fn == "min":
-                contrib = jnp.where(live, sv, max_sentinel(sv.dtype))
-                scat = jnp.full((capacity,), max_sentinel(sv.dtype),
-                                contrib.dtype).at[sid_safe].min(
-                    contrib, mode="drop")
+            if jnp.issubdtype(sv.dtype, jnp.signedinteger) and \
+                    sv.dtype.itemsize <= 4:
+                sentinel = max_sentinel(jnp.int32) if fn == "min" \
+                    else min_sentinel(jnp.int32)
+                contrib = jnp.where(live, sv.astype(jnp.int32), sentinel)
+                plan_ops.append(
+                    (fn, nn,
+                     _seg_minmax32(change, contrib, fn == "max").astype(
+                         sv.dtype)))
             else:
-                contrib = jnp.where(live, sv, min_sentinel(sv.dtype))
-                scat = jnp.full((capacity,), min_sentinel(sv.dtype),
-                                contrib.dtype).at[sid_safe].max(
-                    contrib, mode="drop")
-            slot_ops.append(scat)
-            plan_ops.append((fn, Snn, nn_i, None, len(slot_ops) - 1))
+                if fn == "min":
+                    contrib = jnp.where(live, sv, max_sentinel(sv.dtype))
+                    scat = jnp.full((capacity,), max_sentinel(sv.dtype),
+                                    contrib.dtype).at[sid_safe].min(
+                        contrib, mode="drop")
+                else:
+                    contrib = jnp.where(live, sv, min_sentinel(sv.dtype))
+                    scat = jnp.full((capacity,), min_sentinel(sv.dtype),
+                                    contrib.dtype).at[sid_safe].max(
+                        contrib, mode="drop")
+                slot_ops.append(scat)
+                plan_ops.append((fn + "_slot", nn, len(slot_ops) - 1))
         else:
             raise ValueError(fn)
 
-    bases = multi_gather(prefix_ops, base_idx) if prefix_ops else []
     slots_g = multi_gather(slot_ops, sid_safe) if slot_ops else []
 
     results = []
-    for fn, Snn, nn_i, Sv, aux in plan_ops:
-        nn_base = jnp.where(first_seg, jnp.zeros((), Snn.dtype),
-                            bases[nn_i])
-        nn = Snn - nn_base
+    for fn, nn, data in plan_ops:
         if fn == "count":
             data = nn
-        elif fn in ("sum", "avg"):
-            v_base = jnp.where(first_seg, jnp.zeros((), Sv.dtype),
-                               bases[aux])
-            acc = Sv - v_base
-            data = acc if fn == "sum" else \
-                acc.astype(jnp.float64) / jnp.maximum(nn, 1)
-        else:   # min / max: per-segment slot broadcast back to rows
-            data = slots_g[aux]
+        elif fn == "avg":
+            data = data.astype(jnp.float64) / jnp.maximum(nn, 1)
+        elif fn.endswith("_slot"):  # wide min/max via slot gather
+            data = slots_g[data]
         results.append((data, nn))
 
     # Group keys: any row of the segment holds the group's key values; the

@@ -148,3 +148,60 @@ def test_distinct_count():
     vals = jnp.asarray([1, 2, 2, 3, 3, 3, 9])
     alive = jnp.asarray([True, True, True, True, True, True, False])
     assert int(G.distinct_count(vals, None, alive)) == 3
+
+
+def test_merge_stats_probe():
+    # build runs: key 3 -> vals {7, 2}(live) + 99(dead); key 5 -> {4};
+    # key 8 -> only dead rows
+    bkey = jnp.asarray([3, 5, 3, 3, 8], dtype=jnp.int64)
+    bmask = jnp.asarray([True, True, True, False, False])
+    bval = jnp.asarray([7, 4, 2, 99, 1], dtype=jnp.int32)
+    pkey = jnp.asarray([3, 5, 8, 4, 3], dtype=jnp.int64)
+    pmask = jnp.asarray([True, True, True, True, False])
+    matched, mn, mx = J.merge_stats_probe(bkey, bmask, bval, pkey, pmask)
+    assert list(np.asarray(matched)) == [True, True, False, False, False]
+    assert int(mn[0]) == 2 and int(mx[0]) == 7
+    assert int(mn[1]) == 4 and int(mx[1]) == 4
+
+
+def test_merge_stats_probe_random():
+    rng = np.random.default_rng(0)
+    n, m = 5000, 4000
+    bkey = rng.integers(0, 800, n)
+    bval = rng.integers(-1000, 1000, m if False else n).astype(np.int32)
+    bmask = rng.random(n) < 0.8
+    pkey = rng.integers(0, 1000, m)
+    pmask = rng.random(m) < 0.9
+    matched, mn, mx = J.merge_stats_probe(
+        jnp.asarray(bkey, jnp.int64), jnp.asarray(bmask),
+        jnp.asarray(bval), jnp.asarray(pkey, jnp.int64), jnp.asarray(pmask))
+    matched, mn, mx = (np.asarray(matched), np.asarray(mn), np.asarray(mx))
+    for i in range(m):
+        sel = bval[(bkey == pkey[i]) & bmask]
+        want = pmask[i] and sel.size > 0
+        assert bool(matched[i]) == want, i
+        if want:
+            assert mn[i] == sel.min() and mx[i] == sel.max(), i
+
+
+@pytest.mark.parametrize("op", ["<>", "<", "<=", ">", ">="])
+def test_merge_cmp_probe(op):
+    rng = np.random.default_rng(3)
+    n, m = 3000, 2500
+    bkey = rng.integers(0, 500, n)
+    bval = rng.integers(-50, 50, n).astype(np.int32)
+    bmask = rng.random(n) < 0.8
+    pkey = rng.integers(0, 600, m)
+    pval = rng.integers(-50, 50, m).astype(np.int32)
+    pmask = rng.random(m) < 0.9
+    got = np.asarray(J.merge_cmp_probe(
+        jnp.asarray(bkey, jnp.int32), jnp.asarray(bmask), jnp.asarray(bval),
+        jnp.asarray(pkey, jnp.int32), jnp.asarray(pmask), jnp.asarray(pval),
+        op))
+    import operator
+    fn = {"<>": operator.ne, "<": operator.lt, "<=": operator.le,
+          ">": operator.gt, ">=": operator.ge}[op]
+    for i in range(m):
+        sel = bval[(bkey == pkey[i]) & bmask]
+        want = bool(pmask[i]) and bool(np.any(fn(pval[i], sel)))
+        assert bool(got[i]) == want, (i, op)
