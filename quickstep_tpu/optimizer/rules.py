@@ -353,14 +353,21 @@ def _unique_sets(plan: L.LogicalNode, db) -> List[frozenset]:
         return [frozenset(remap[i] for i in s) for s in inner
                 if all(i in remap for i in s)]
     if isinstance(plan, L.Join):
-        # probe-side keys stay unique when the build side is unique on the join
-        # keys (each probe row appears at most once)
+        # probe-side keys stay unique when the build side is unique on the
+        # join keys (each probe row appears at most once); symmetrically, in
+        # an INNER join whose probe side is unique on its keys, each build
+        # row appears at most once, so build-side unique sets survive too
+        # (Q18: o_orderkey stays unique through customer⋈orders).
         if plan.kind in ("semi", "anti"):
             return _unique_sets(plan.left, db)
+        out = []
         if plan.kind in ("inner", "left") and \
                 keys_unique(plan.right, plan.right_keys, db):
-            return _unique_sets(plan.left, db)
-        return []
+            out.extend(_unique_sets(plan.left, db))
+        if plan.kind == "inner" and \
+                keys_unique(plan.left, plan.left_keys, db):
+            out.extend(_unique_sets(plan.right, db))
+        return out
     if isinstance(plan, (L.Sort, L.Limit)):
         return _unique_sets(plan.input, db)
     return []
@@ -379,8 +386,49 @@ def optimize_plan(plan: L.LogicalNode, config: Config, db) -> L.LogicalNode:
         plan = _reorder_joins(plan, db, env)
     plan = _order_conjuncts(plan, env)
     plan = _prune_columns(plan)
+    plan = _share_common_subplans(plan)
     _annotate_join_estimates(plan, db, env)
     return plan
+
+
+def _share_common_subplans(plan):
+    """ExtractCommonSubexpression at plan granularity (the reference extracts
+    shared scalar subexpressions, query_optimizer/rules/
+    ExtractCommonSubexpression; here whole repeated Aggregate/Distinct
+    subtrees — e.g. Q18 after eager aggregation computes
+    Aggregate(lineitem BY l_orderkey) once for its HAVING subquery and once
+    as the eager partial). Structurally identical subtrees (expr_ids
+    canonicalized by the compile-cache fingerprint) are wrapped in
+    SharedSubplan nodes pointing at ONE plan object; the runner memoizes on
+    that object so the subtree executes once. XLA does NOT CSE large sorts
+    across identical subgraphs — this must happen at plan level."""
+    from quickstep_tpu.exec.executor import _fingerprint
+    counts: dict = {}
+    first: dict = {}
+
+    def scan(node):
+        if isinstance(node, (L.Aggregate, L.Distinct)):
+            fp = _fingerprint(node)
+            counts[fp] = counts.get(fp, 0) + 1
+            first.setdefault(fp, node)
+        for c in node.children():
+            scan(c)
+    scan(plan)
+    shared = {fp for fp, c in counts.items() if c >= 2}
+    if not shared:
+        return plan
+    names = {fp: f"__cse_{i}"
+             for i, fp in enumerate(fp for fp in counts if fp in shared)}
+
+    def rewrite(node):
+        if isinstance(node, (L.Aggregate, L.Distinct)):
+            fp = _fingerprint(node)
+            if fp in shared:
+                return L.SharedSubplan(
+                    name=names[fp], plan=first[fp],
+                    attrs=[dataclasses.replace(a) for a in node.output])
+        return _recurse_children(node, rewrite)
+    return rewrite(plan)
 
 
 # ---- semi-join derivation / placement ----
@@ -496,6 +544,9 @@ def _eager_aggregate_pushdown(node, db, env):
     j = node.input
     if j.kind not in ("inner", "left") or not j.left_keys or j.null_aware:
         return node
+    mirrored = _eager_aggregate_mirror(node, j, db, env)
+    if mirrored is not None:
+        return mirrored
     left_ids = {a.expr_id for a in j.left.output}
     right_ids = {a.expr_id for a in j.right.output}
     if j.residual is not None:
@@ -554,6 +605,76 @@ def _eager_aggregate_pushdown(node, db, env):
                        else_result=Lit(value=0, type=oa.type),
                        type=oa.type)
         exprs.append(ref)
+    return L.Project(input=new_join, exprs=exprs, attrs=list(node.output))
+
+
+def _eager_aggregate_mirror(node, j, db, env):
+    """Mirrored eager aggregation (Yan & Larson's other orientation, Q18's
+    shape): group keys all come from the BUILD (right) side and are unique
+    there; aggregate args all come from the PROBE (left) side. The
+    |L|-capacity expansion join plus the |L|-capacity group-by collapse into
+
+        Project( Join(R, Aggregate(L group by join key)) )
+
+    Each group is exactly one R row (group keys unique on R), so the
+    per-join-key partial over L IS the group aggregate; INNER join semantics
+    drop R rows with no partial exactly like groups with no join rows never
+    existed. (Q18: the 8.4M-row join output + 5-key aggregate become a
+    1.5M-group aggregate over lineitem — the same shape its own HAVING
+    subquery computes — plus a unique join at |orders|.) Returns None when
+    the pattern doesn't match."""
+    if j.kind != "inner" or not j.left_keys or j.null_aware:
+        return None
+    left_ids = {a.expr_id for a in j.left.output}
+    right_ids = {a.expr_id for a in j.right.output}
+    if j.residual is not None:
+        # an L-only ON-residual is equivalent to pre-filtering L
+        if not j.residual.referenced_attrs() <= left_ids:
+            return None
+        j = dataclasses.replace(j, left=L.Filter(input=j.left,
+                                                 predicate=j.residual),
+                                residual=None)
+    for ge in node.group_by:
+        if not (isinstance(ge, Attr) and ge.expr_id in right_ids):
+            return None
+    if not keys_unique(j.right, list(node.group_by), db):
+        return None
+    for s in node.aggregates:
+        if s.distinct or s.fn not in ("count", "sum", "min", "max", "avg"):
+            return None
+        if s.arg is None:   # COUNT(*) counts join rows, not L rows
+            return None
+        refs = s.arg.referenced_attrs()
+        if not refs or not refs <= left_ids:
+            return None
+    for a in node.agg_attrs:
+        if a.type.is_string:
+            return None
+    try:
+        # pushing aggregates L in full; skip when the join would have thrown
+        # most of L away first
+        if estimate_cardinality(j, db, env) < \
+                0.3 * estimate_cardinality(j.left, db, env):
+            return None
+    except Exception:
+        return None
+
+    from quickstep_tpu.optimizer.logical import next_expr_id
+    g_attrs = [L.OutAttr(next_expr_id(), f"eagg_k{i}", k.type)
+               for i, k in enumerate(j.left_keys)]
+    inner = L.Aggregate(
+        input=j.left, group_by=list(j.left_keys), group_attrs=g_attrs,
+        aggregates=[dataclasses.replace(s) for s in node.aggregates],
+        agg_attrs=[L.OutAttr(next_expr_id(), f"eagg_{i}", a.type)
+                   for i, a in enumerate(node.agg_attrs)])
+    new_join = L.Join(
+        left=j.right, right=inner, kind="inner",
+        left_keys=list(j.right_keys),
+        right_keys=[Attr(expr_id=ga.expr_id, name=ga.name, type=ga.type)
+                    for ga in g_attrs])
+    exprs: List[Expr] = list(node.group_by)
+    for ia, oa in zip(inner.agg_attrs, node.agg_attrs):
+        exprs.append(Attr(expr_id=ia.expr_id, name=ia.name, type=oa.type))
     return L.Project(input=new_join, exprs=exprs, attrs=list(node.output))
 
 

@@ -57,8 +57,11 @@ def test_q18_semi_pushed_to_orders_leaf(db):
     semi_at = plan.index("Join[semi; o_orderkey=l_orderkey]")
     orders_at = plan.index("TableScan[orders]")
     assert semi_at < orders_at
-    # and the lineitem⋈orders join sits ABOVE the semi now
-    assert plan.index("Join[inner; l_orderkey=o_orderkey]") < semi_at
+    # eager aggregation replaced the lineitem⋈orders expansion join with a
+    # unique join against the pre-aggregated per-orderkey partials, and CSE
+    # shares that aggregate with the HAVING subquery's
+    assert plan.index("Join[inner; eagg_k0=o_orderkey]") < semi_at
+    assert plan.count("SharedSubplanRef[__cse_0]") == 2
 
 
 def test_q21_semi_not_pushed(db):
