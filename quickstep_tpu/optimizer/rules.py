@@ -852,17 +852,34 @@ def _greedy_join_order(leaves, edges, db, env) -> L.LogicalNode:
             ri = find_comp(set().union(*[k.referenced_attrs() for k in rk]))
             if li is None or ri is None or li == ri:
                 continue
-            # estimated output of joining these components
-            ndv = 1.0
-            for a, b in zip(lk, rk):
-                d = 1.0
-                for side in (a, b):
-                    if isinstance(side, Attr):
-                        st = env.get(side.expr_id)
-                        if st and st.ndv:
-                            d = max(d, st.ndv)
-                ndv *= max(d, 1.0)
-            out = max(cards[li] * cards[ri] / max(ndv, 1.0), 1.0)
+            # estimated output of joining these components — same model as
+            # estimate_cardinality's join case: unique-side containment
+            # first (each probe row matches at most once; match rate =
+            # fraction of the unique side's BASE relation retained), else
+            # per-side ndv products capped by side cardinality (the naive
+            # product over-divides composite keys: ndv(a)*ndv(b) >>
+            # ndv(a,b), which made Q9 join lineitem⋈partsupp before the
+            # 5%-selective part filter).
+            ub_r = _unique_build_base_rows(comps[ri], rk, db)
+            ub_l = _unique_build_base_rows(comps[li], lk, db)
+            if ub_r:
+                out = cards[li] * min(1.0, cards[ri] / ub_r)
+            elif ub_l:
+                out = cards[ri] * min(1.0, cards[li] / ub_l)
+            else:
+                def side_ndv(keys, card):
+                    nd = 1.0
+                    for k in keys:
+                        if isinstance(k, Attr):
+                            st = env.get(k.expr_id)
+                            nd *= (st.ndv if st and st.ndv else 100.0)
+                        else:
+                            nd *= 100.0
+                    return min(nd, max(card, 1.0))
+                denom = max(side_ndv(lk, cards[li]),
+                            side_ndv(rk, cards[ri]), 1.0)
+                out = cards[li] * cards[ri] / denom
+            out = max(out, 1.0)
             if best_cost is None or out < best_cost:
                 best_cost = out
                 best = (ei, li, ri)
