@@ -163,10 +163,44 @@ def window_aggregate(
             # negation, under which [v'-a, v'+b] is exactly the SQL window
             # (PRECEDING = larger original values) — no offset swap needed.
             sv = okeys[0][order]
-            lo = seg_first if start is None else _lex_searchsorted(
-                seg_ids, sv, seg_ids, sv - start, "left").astype(jnp.int32)
-            hi = seg_last if end is None else (_lex_searchsorted(
-                seg_ids, sv, seg_ids, sv + end, "right") - 1).astype(jnp.int32)
+            if jnp.issubdtype(sv.dtype, jnp.integer):
+                # merge_starts instead of binary search: _lex_searchsorted's
+                # log2(n) rounds of full random-gather passes are the same
+                # cliff the joins fell off (ops/join.py merge_starts
+                # rationale); pack (segment, value) into one int64 key —
+                # value field gets 34 bits so q = v ± offset can't cross a
+                # segment — and resolve BOTH bounds in one concat sort.
+                bias = (jnp.int64(1) << 31) - jnp.int64(
+                    jnp.iinfo(jnp.int32).min)
+                seg64 = seg_ids.astype(jnp.int64)
+                v64 = sv.astype(jnp.int64) + bias          # [2^31, ~2^33)
+                packed = (seg64 << 34) + v64
+                qs = []
+                if start is not None:
+                    qs.append((seg64 << 34) + (v64 - start))
+                if end is not None:
+                    qs.append((seg64 << 34) + (v64 + end))
+                from quickstep_tpu.ops.join import merge_starts
+                st, cnt = merge_starts(packed, jnp.concatenate(qs)
+                                       if len(qs) > 1 else qs[0])
+                pos = 0
+                if start is None:
+                    lo = seg_first
+                else:
+                    lo = st[pos * n:(pos + 1) * n].astype(jnp.int32)
+                    pos += 1
+                if end is None:
+                    hi = seg_last
+                else:
+                    hi = (st[pos * n:(pos + 1) * n] +
+                          cnt[pos * n:(pos + 1) * n] - 1).astype(jnp.int32)
+            else:
+                lo = seg_first if start is None else _lex_searchsorted(
+                    seg_ids, sv, seg_ids, sv - start,
+                    "left").astype(jnp.int32)
+                hi = seg_last if end is None else (_lex_searchsorted(
+                    seg_ids, sv, seg_ids, sv + end,
+                    "right") - 1).astype(jnp.int32)
         hi = jnp.maximum(hi, lo - 1)   # empty window
         res_sorted, nn_sorted = _eval_frame(
             fn, contrib_sum, contrib_cnt, s_vals, live, lo, hi,

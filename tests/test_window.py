@@ -92,3 +92,23 @@ def test_range_frame_desc(dbs):
                   "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING), "
                   "max(v) OVER (PARTITION BY g ORDER BY o DESC "
                   "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) FROM w")
+
+
+def test_range_frame_1m_rows_merge_path():
+    """RANGE frames at 1M rows ride merge_starts (not binary search): spot-
+    check correctness against a numpy reference on sampled rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from quickstep_tpu.ops.window import window_aggregate
+    rng = np.random.default_rng(7)
+    n = 1_000_000
+    part = rng.integers(0, 50, n).astype(np.int32)
+    val = rng.integers(0, 100_000, n).astype(np.int32)
+    x = rng.integers(-100, 100, n).astype(np.int64)
+    res, _ = window_aggregate(
+        [jnp.asarray(part)], [jnp.asarray(val)], [False], "sum",
+        jnp.asarray(x), None, jnp.ones((n,), bool), ("range", 500, 500))
+    res = np.asarray(res)
+    for i in rng.integers(0, n, 12):
+        m = (part == part[i]) & (val >= val[i] - 500) & (val <= val[i] + 500)
+        assert res[i] == x[m].sum(), i

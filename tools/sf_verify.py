@@ -39,12 +39,19 @@ def _row_eq(a, b):
     return True
 
 
-def _norm(rows):
-    out = []
-    for r in rows:
-        out.append(tuple(round(v, 2) if isinstance(v, float) else v
-                         for v in r))
-    return sorted(map(repr, out))
+def _norm_key(r):
+    """Canonical sort key for multiset matching: floats participate rounded
+    to 4dp (bucketing only — equality is decided by _row_eq's isclose, so a
+    .xxx5 representation boundary can no longer produce a false MISMATCH the
+    way the old round-to-2dp-and-repr comparison did)."""
+    return tuple(("f", round(v, 4)) if isinstance(v, float)
+                 else ("v", repr(v)) for v in r)
+
+
+def _multiset_eq(a, b):
+    sa = sorted(a, key=_norm_key)
+    sb = sorted(b, key=_norm_key)
+    return all(_row_eq(x, y) for x, y in zip(sa, sb))
 
 
 def compare(qnum, ours, oracle, ordered):
@@ -55,7 +62,7 @@ def compare(qnum, ours, oracle, ordered):
             if not _row_eq(a, b):
                 return f"row {i}: {a!r} != {b!r}"
         return None
-    return None if _norm(ours) == _norm(oracle) else "multiset mismatch"
+    return None if _multiset_eq(ours, oracle) else "multiset mismatch"
 
 
 def main():
