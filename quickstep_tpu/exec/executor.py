@@ -248,7 +248,18 @@ class Executor:
             trim_ids = [a.expr_id for a in final_attrs]
             device_plan = device_plan.input
 
+        # Hoist uncorrelated scalar subqueries into their own compiled
+        # programs and feed the scalars in as inputs — the reference
+        # evaluates subquery expressions once ahead of the outer plan too
+        # (query_optimizer/expressions/SubqueryExpression.hpp). Besides the
+        # structural fit (the value is data-, not trace-dependent), fusing a
+        # grouped aggregate pipeline and its HAVING subquery's join pipeline
+        # into ONE program reproducibly SIGSEGVs the XLA:TPU compiler on
+        # Q11's shape.
+        sub_inputs = self._hoist_scalar_subqueries(device_plan)
         inputs, meta = self._collect_inputs(device_plan)
+        if sub_inputs:
+            inputs["__subqueries__"] = sub_inputs
         # Adaptive re-optimization (ExecutionStats-feedback analog): join
         # strategy corrections discovered at runtime (duplicate build keys,
         # expansion overflow) are remembered per plan shape + table versions,
@@ -279,6 +290,42 @@ class Executor:
             return self._materialize(outs, out_attrs)
         return self._materialize_sorted(outs, out_attrs, host_sort,
                                         final_attrs, trim_ids)
+
+    def _hoist_scalar_subqueries(self, plan) -> Dict[str, tuple]:
+        """Execute every uncorrelated scalar subquery under `plan` as its own
+        program (recursively — a subquery's subqueries hoist first) and
+        return {traversal position: (value, ok)} for the runner to bind
+        without tracing the subplan into the outer program. Keyed by the
+        deterministic enumeration shared with the runner
+        (runner.iter_scalar_subplans), NOT id()."""
+        from quickstep_tpu.exec.runner import iter_scalar_subplans
+        out: Dict[str, tuple] = {}
+        for i, sub in enumerate(iter_scalar_subplans(plan)):
+            out[str(i)] = self._run_scalar_plan(sub)
+        return out
+
+    def _run_scalar_plan(self, sub):
+        """(raw first-row value, present) of a scalar subquery plan — raw
+        device encoding (dict codes / decimal units), exactly what the
+        in-trace execution produced before hoisting."""
+        nested = self._hoist_scalar_subqueries(sub)
+        inputs, meta = self._collect_inputs(sub)
+        if nested:
+            inputs["__subqueries__"] = nested
+        overrides: Dict[int, JoinOverride] = {}
+        for _attempt in range(8):
+            outs, flags, _attrs = self._compile_and_run(
+                sub, inputs, meta, overrides)
+            if not self._check_flags(sub, flags, overrides):
+                break
+        else:
+            raise ExecutionError("subquery join fallback did not converge")
+        _thunk, n, (ds, vs) = outs
+        val = np.asarray(ds[0])[0]
+        ok = bool(n > 0)
+        if vs[0] is not None:
+            ok = ok and bool(np.asarray(vs[0])[0])
+        return (val, ok)
 
     # ----------------------------------------------------------------
     # out-of-core segment streaming (see exec/streaming.py)

@@ -34,6 +34,33 @@ from quickstep_tpu.expressions.scalar import Expr, Attr, Lit, Cmp
 def _flip_cmp(op: str) -> str:
     return {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
             "=": "=", "<>": "<>"}[op]
+
+
+def iter_scalar_subplans(plan) -> list:
+    """Deterministic DFS enumeration of the uncorrelated scalar subquery
+    plans under `plan` (dedup by identity, exprs before children). The
+    executor keys hoisted scalar inputs by POSITION in this order and the
+    runner resolves them the same way — identity-based keys break when a
+    compile-cache-hit program (closing over an older structurally-identical
+    plan) is retraced against fresh inputs."""
+    from quickstep_tpu.expressions.subquery import SubqueryScalar
+    from quickstep_tpu.exec.executor import _node_exprs
+    out = []
+    seen = set()
+
+    def visit(node):
+        for e in _node_exprs(node):
+            stack = [e]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, SubqueryScalar) and id(x.plan) not in seen:
+                    seen.add(id(x.plan))
+                    out.append(x.plan)
+                stack.extend(x.children())
+        for c in node.children():
+            visit(c)
+    visit(plan)
+    return out
 from quickstep_tpu.expressions.aggregate import AggregateSpec
 from quickstep_tpu.optimizer import logical as L
 from quickstep_tpu.optimizer.logical import OutAttr
@@ -77,6 +104,7 @@ class PlanRunner:
         self._memo: Dict[int, Chunk] = {}    # shared subplans / scalar subqueries
         self._subquery_slots: Dict = {}
         self.node_index: Dict[int, int] = {}
+        self.plan = plan
         self._assign_indices(plan, [0])
 
     def _assign_indices(self, node: L.LogicalNode, counter: List[int]):
@@ -268,6 +296,26 @@ class PlanRunner:
             if isinstance(x, SubqueryScalar):
                 key = ("subquery", id(x.plan))
                 if key not in self._subquery_slots:
+                    # hoisted scalars are keyed by DETERMINISTIC traversal
+                    # position, never id(): a compile-cache-hit program
+                    # closes over an older structurally-identical plan, and
+                    # id-keyed inputs would miss on retrace (and re-trace
+                    # the subquery in-program)
+                    if not hasattr(self, "_subq_index"):
+                        self._subq_index = {
+                            id(p): i for i, p in
+                            enumerate(iter_scalar_subplans(self.plan))}
+                    pos = self._subq_index.get(id(x.plan))
+                    pre = self.inputs.get("__subqueries__", {}).get(
+                        str(pos)) if pos is not None else None
+                    if pre is not None:
+                        # hoisted: the executor ran this subplan as its own
+                        # program and feeds the scalar in as an input
+                        val, ok = pre
+                        self._subquery_slots[key] = (
+                            jnp.asarray(val), jnp.asarray(ok))
+                        stack.extend(x.children())
+                        continue
                     sub = self._exec_memo(x.plan)
                     out0 = sub.attrs[0]
                     data, valid = sub.get(out0.expr_id)
@@ -549,18 +597,34 @@ class PlanRunner:
         carried = [i for i in range(len(key_data)) if i not in defer]
         sub_positions = [carried.index(i) for i in keep if i in carried]
         packed = None
+        span_total = None
         if key_ranges is not None:
             packed = self._pack_sort_key(
                 [key_data[i] for i in keep],
                 [key_valid[i] for i in keep],
                 [key_ranges[i] for i in keep])
-        out_keys, out_valids, occupied, _n_groups, results, rep_rows = \
-            G.sort_groupby(
+            if packed is not None:
+                span_total = 1
+                for i in keep:
+                    span_total *= key_ranges[i][1] - key_ranges[i][0] + 2
+        dist = None
+        if not defer:
+            dist = self._dist_sort_groupby(
                 [key_data[i] for i in carried],
                 [key_valid[i] for i in carried],
-                agg_inputs, chunk.alive, packed_key=packed,
-                sort_subset=sub_positions, want_rows=True)
-        capacity = chunk.capacity
+                agg_inputs, chunk.alive, packed, sub_positions, span_total,
+                [key_ranges[i] for i in keep] if key_ranges else None)
+        if dist is not None:
+            out_keys, out_valids, occupied, results, capacity = dist
+            rep_rows = None
+        else:
+            out_keys, out_valids, occupied, _n_groups, results, rep_rows = \
+                G.sort_groupby(
+                    [key_data[i] for i in carried],
+                    [key_valid[i] for i in carried],
+                    agg_inputs, chunk.alive, packed_key=packed,
+                    sort_subset=sub_positions, want_rows=True)
+            capacity = chunk.capacity
         slots = {}
         ranges = {}
         for pos, i in enumerate(carried):
@@ -583,6 +647,140 @@ class PlanRunner:
         return Chunk(attrs=list(node.output), slots=slots,
                      alive=occupied, capacity=capacity,
                      ranges=ranges, unique_sets=uniq, fds=fds)
+
+    def _dist_sort_groupby(self, key_data, key_valid, agg_inputs, alive,
+                           packed, sort_subset, span_total, keep_ranges):
+        """Sharded two-phase aggregation over the mesh — the reference's
+        per-partition AggregationOperator + FinalizeAggregationOperator
+        split (query_optimizer/ExecutionGenerator.cpp:1839-2052,
+        storage/PartitionedHashTablePool.hpp:49). Without this, GSPMD
+        all-gathers the (row-sharded) aggregate input and runs the group
+        sort REPLICATED on every device — the 8-device virtual-mesh proxy
+        measured each device sorting the full 2M-row join output.
+
+        Phase 1 (shard_map): per-device sort_groupby over the local row
+        shard, partial states compacted to a bounded prefix (cap_p >=
+        next_pow2(key-domain span), so local groups can never overflow).
+        Phase 2: one small sort_groupby over the n*cap_p gathered partials
+        with merge aggregates (count->sum, sum->sum(+nn), min/max->min/max,
+        avg->sum/sum). Returns (out_keys, out_valids, occupied, results,
+        capacity) in sort_groupby's shape, or None when not applicable
+        (no mesh / unknown key domain / domain too wide to win)."""
+        mesh = self.mesh
+        if mesh is None or not self.config.use_partition_rule or \
+                packed is None or span_total is None or keep_ranges is None:
+            return None
+        axis = self.config.default_mesh_axis
+        n = int(mesh.shape[axis])
+        cap = alive.shape[0]
+        if n <= 1 or cap % n or span_total >= 2**31:
+            return None
+        Lc = cap // n
+        cap_p = K.next_pow2(max(8, span_total))
+        if cap_p > Lc // 2:
+            return None   # partials wouldn't shrink the merge below 1 shard
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        # phase-1 specs: avg aggregates split into mergeable (sum, nn)
+        p_specs = [("sum" if fn == "avg" else fn, v, vd)
+                   for fn, v, vd in agg_inputs]
+
+        # flatten args (None valids can't cross shard_map): data arrays +
+        # presence maps
+        kd = [jnp.asarray(d) for d in key_data]
+        kv_present = [v is not None for v in key_valid]
+        arrays = [packed] + kd + [v for v in key_valid if v is not None]
+        av_present = []
+        for fn, v, vd in p_specs:
+            if v is not None:
+                arrays.append(v)
+            av_present.append((v is not None, vd is not None))
+            if vd is not None:
+                arrays.append(vd)
+        arrays.append(alive)
+
+        def pbody(*args):
+            pos = 0
+            pk_l = args[pos]; pos += 1
+            kd_l = list(args[pos:pos + len(kd)]); pos += len(kd)
+            kv_l = []
+            for present in kv_present:
+                kv_l.append(args[pos] if present else None)
+                pos += 1 if present else 0
+            specs_l = []
+            for (has_v, has_vd), (fn, _v, _vd) in zip(av_present, p_specs):
+                v_l = args[pos] if has_v else None
+                pos += 1 if has_v else 0
+                vd_l = args[pos] if has_vd else None
+                pos += 1 if has_vd else 0
+                specs_l.append((fn, v_l, vd_l))
+            alive_l = args[pos]
+            out_k, out_v, occ, ng, res = G.sort_groupby(
+                kd_l, kv_l, specs_l, alive_l, packed_key=pk_l,
+                sort_subset=sort_subset)
+            order = K.compact_order(occ)[:cap_p]
+            # re-pack the SORTED key columns (out_k/out_v align with occ;
+            # the input packed key pk_l does not)
+            pk_sorted = self._pack_sort_key(
+                [out_k[p] for p in sort_subset],
+                [out_v[p] for p in sort_subset], keep_ranges)
+            flat = [jnp.where(occ, pk_sorted,
+                              jnp.iinfo(pk_sorted.dtype).max)] + \
+                list(out_k) + [v for v in out_v if v is not None] + \
+                [d for d, _nn in res] + [nn for _d, nn in res]
+            g = K.multi_gather(flat, order)
+            row_ok = jnp.arange(cap_p, dtype=jnp.int32) < ng
+            return tuple(g) + (row_ok,)
+
+        outs = shard_map(
+            pbody, mesh=mesh,
+            in_specs=tuple(P(axis) for _ in arrays),
+            out_specs=P(axis))(*arrays)
+        pos = 0
+        pk_m = outs[pos]; pos += 1
+        kd_m = list(outs[pos:pos + len(kd)]); pos += len(kd)
+        kv_m = []
+        for present in kv_present:
+            kv_m.append(outs[pos] if present else None)
+            pos += 1 if present else 0
+        datas_m = list(outs[pos:pos + len(p_specs)]); pos += len(p_specs)
+        nns_m = list(outs[pos:pos + len(p_specs)]); pos += len(p_specs)
+        row_ok = outs[pos]
+
+        # phase 2: merge partial states (small: n * cap_p rows)
+        m_specs = []
+        layout = []   # per original spec: (kind, data_idx, nn_idx)
+        for i, (fn, _v, _vd) in enumerate(agg_inputs):
+            if fn == "count":
+                layout.append(("count", len(m_specs), None))
+                m_specs.append(("sum", nns_m[i].astype(jnp.int64), None))
+            else:
+                di = len(m_specs)
+                m_specs.append((
+                    "min" if fn == "min" else
+                    "max" if fn == "max" else "sum",
+                    datas_m[i],
+                    (nns_m[i] > 0) if fn in ("min", "max") else None))
+                ni = len(m_specs)
+                m_specs.append(("sum", nns_m[i].astype(jnp.int64), None))
+                layout.append((fn, di, ni))
+        out_keys, out_valids, occupied, _ng, m_res = G.sort_groupby(
+            kd_m, kv_m, m_specs, row_ok, packed_key=pk_m,
+            sort_subset=sort_subset)
+        results = []
+        for kind, di, ni in layout:
+            if kind == "count":
+                cnt = m_res[di][0]
+                results.append((cnt, cnt))
+            else:
+                data = m_res[di][0]
+                nn = m_res[ni][0]
+                if kind == "avg":
+                    data = data.astype(jnp.float64) / jnp.maximum(nn, 1)
+                results.append((data, nn))
+        return out_keys, out_valids, occupied, results, n * cap_p
 
     def _fill_agg_slots(self, node, results, slots, capacity):
         for spec, a, (data, nn) in zip(node.aggregates, node.agg_attrs, results):
@@ -898,8 +1096,19 @@ class PlanRunner:
                       if i in build.max_counts), default=None)
             if mc is not None and mc > Lb:
                 salt = min(n, K.next_pow2(-(-mc * n // build.capacity)))
-        bp = factor * max(8, -(-2 * Lp // n))
-        bb = factor * max(8, -(-2 * Lb * salt // n))
+        # Cost-model-driven bucket capacity (repartition planning sized by
+        # the cost model — query_optimizer/rules/Partition.hpp:67-87): size
+        # receive buckets from the ESTIMATED live rows (4x cushion, same
+        # policy as pre-join compaction), not raw capacity; the
+        # shuffle_factor overflow-retry is the backstop for under-estimates.
+        est_p = getattr(node, "est_left_rows", None)
+        est_b = getattr(node, "est_right_rows", None)
+        live_p = min(1.0, 4.0 * est_p / max(probe.capacity, 1)) \
+            if est_p else 1.0
+        live_b = min(1.0, 4.0 * est_b / max(build.capacity, 1)) \
+            if est_b else 1.0
+        bp = factor * max(8, -(-int(2 * Lp * live_p) // n))
+        bb = factor * max(8, -(-int(2 * Lb * live_b) * salt // n))
         recv_p, recv_b = n * bp, n * bb
 
         # Exchange/compute overlap (SURVEY §5 mandate — the InsertDestination
@@ -947,7 +1156,7 @@ class PlanRunner:
             # conservative floor: a wrong estimate costs an overflow-retry
             # recompile, so never shrink below 1/8 of the unfiltered cap
             sel = max(min(sel, 1.0), 0.125)
-        bp_c = factor * max(8, -(-int(2 * Lc * sel) // n))
+        bp_c = factor * max(8, -(-int(2 * Lc * sel * live_p) // n))
         recv_p_c = n * bp_c
         # logical ICI exchange volume: every marshaled array crosses the
         # all_to_all once (bucketed, so actual bytes = bucket capacity)

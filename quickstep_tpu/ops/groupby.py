@@ -187,29 +187,34 @@ def _seg_fill(marks: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
     v5e; the gather this replaces costs ~73ms per 8.4M rows."""
     r = jnp.cumsum(marks.astype(jnp.int32)).astype(jnp.int64)
 
-    def fill32(bits32):   # bits32: uint32 view of the payload
-        packed = jnp.where(marks, (r << 32) | bits32.astype(jnp.int64),
-                           jnp.int64(0))
-        return (jax.lax.cummax(packed) &
-                jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    def fill_field(field64):   # field64: int64 values in [0, 2^32)
+        packed = jnp.where(marks, (r << 32) | field64, jnp.int64(0))
+        return jax.lax.cummax(packed) & jnp.int64(0xFFFFFFFF)
 
     dt = vals.dtype
-    if dt.itemsize <= 4:
-        iv = jax.lax.bitcast_convert_type(
-            vals.astype(jnp.int32) if dt != jnp.float32 else vals,
-            jnp.uint32)
-        out = fill32(iv)
-        if dt == jnp.float32:
-            return jax.lax.bitcast_convert_type(out, jnp.float32)
-        return jax.lax.bitcast_convert_type(out, jnp.int32).astype(dt)
-    iv = jax.lax.bitcast_convert_type(
-        vals.astype(jnp.int64) if dt != jnp.float64 else vals, jnp.uint64)
-    hi = fill32((iv >> 32).astype(jnp.uint32))
-    lo = fill32((iv & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
-    out = (hi.astype(jnp.uint64) << 32) | lo.astype(jnp.uint64)
+    # NO 64-bit bitcasts anywhere: bitcast_convert_type on 64-bit types
+    # SIGSEGVs the TPU compiler under x64 emulation (same limitation
+    # multi_gather documents); everything below is plain int64 arithmetic.
+    if dt == jnp.float32:
+        iv = jax.lax.bitcast_convert_type(vals, jnp.uint32)  # 32-bit: fine
+        out = fill_field(iv.astype(jnp.int64))
+        return jax.lax.bitcast_convert_type(out.astype(jnp.uint32),
+                                            jnp.float32)
     if dt == jnp.float64:
-        return jax.lax.bitcast_convert_type(out, jnp.float64)
-    return jax.lax.bitcast_convert_type(out, jnp.int64).astype(dt)
+        raise ValueError("_seg_fill: f64 needs bitcasts; caller must use "
+                         "the gather fallback")
+    if dt.itemsize <= 4:
+        v64 = vals.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+        f = fill_field(v64)
+        # reinterpret the low 32 bits as two's-complement
+        f = jnp.where(f >= jnp.int64(1) << 31, f - (jnp.int64(1) << 32), f)
+        return f.astype(dt)
+    iv = vals.astype(jnp.int64)
+    hi = fill_field((iv >> 32) & jnp.int64(0xFFFFFFFF))
+    lo = fill_field(iv & jnp.int64(0xFFFFFFFF))
+    # (hi << 32) wraps negative for hi >= 2^31 — exactly the two's-complement
+    # reinterpretation needed to reassemble the original int64
+    return ((hi << 32) | lo).astype(dt)
 
 
 def _seg_minmax32(change: jnp.ndarray, contrib: jnp.ndarray,
@@ -342,13 +347,21 @@ def sort_groupby(key_cols: List[jnp.ndarray],
     #     cummax; wider values keep the scatter-into-slots + gather-back.
     sid = jnp.cumsum(change.astype(jnp.int32)) - 1          # segment index
     sid_safe = jnp.clip(sid, 0, capacity - 1)
+    seg_start = jax.lax.cummax(jnp.where(change, iota, -1))  # start row idx
 
     slot_ops = []     # arrays to gather at sid_safe (wide min/max only)
     plan_ops = []     # (fn-kind, nn, data-or-slot-index)
 
     def seg_sum(contrib):
         S = jnp.cumsum(contrib)
-        base = _seg_fill(change, S - contrib)
+        if S.dtype == jnp.float64:
+            # f64 can't ride _seg_fill (64-bit bitcasts crash the TPU
+            # compiler): fetch the segment base with a gather instead
+            base_idx = jnp.clip(seg_start - 1, 0, capacity - 1)
+            base = jnp.where(seg_start <= 0, jnp.zeros((), S.dtype),
+                             S[base_idx])
+        else:
+            base = _seg_fill(change, S - contrib)
         return S - base
 
     nn_cache = {}

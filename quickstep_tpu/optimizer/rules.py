@@ -402,17 +402,31 @@ def _share_common_subplans(plan):
     SharedSubplan nodes pointing at ONE plan object; the runner memoizes on
     that object so the subtree executes once. XLA does NOT CSE large sorts
     across identical subgraphs — this must happen at plan level."""
-    from quickstep_tpu.exec.executor import _fingerprint
+    from quickstep_tpu.exec.executor import _fingerprint, _node_exprs
+    from quickstep_tpu.expressions.subquery import SubqueryScalar
     counts: dict = {}
     first: dict = {}
 
+    def each_subplan(node, fn):
+        # subquery plans execute in the SAME runner (_bind_subqueries ->
+        # _exec_memo), so they participate in sharing — e.g. Q11's HAVING
+        # subquery repeats the outer partsupp⋈supplier⋈nation join verbatim
+        for e in _node_exprs(node):
+            stack = [e]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, SubqueryScalar):
+                    fn(x)
+                stack.extend(x.children())
+
     def scan(node):
-        if isinstance(node, (L.Aggregate, L.Distinct)):
+        if isinstance(node, (L.Aggregate, L.Distinct, L.Join)):
             fp = _fingerprint(node)
             counts[fp] = counts.get(fp, 0) + 1
             first.setdefault(fp, node)
         for c in node.children():
             scan(c)
+        each_subplan(node, lambda x: scan(x.plan))
     scan(plan)
     shared = {fp for fp, c in counts.items() if c >= 2}
     if not shared:
@@ -421,13 +435,18 @@ def _share_common_subplans(plan):
              for i, fp in enumerate(fp for fp in counts if fp in shared)}
 
     def rewrite(node):
-        if isinstance(node, (L.Aggregate, L.Distinct)):
+        if isinstance(node, (L.Aggregate, L.Distinct, L.Join)):
             fp = _fingerprint(node)
             if fp in shared:
+                # every occurrence (including the first) is wrapped, so all
+                # consumers reach the one plan object through the runner's
+                # memo — the first's attr map is the identity
                 return L.SharedSubplan(
                     name=names[fp], plan=first[fp],
                     attrs=[dataclasses.replace(a) for a in node.output])
-        return _recurse_children(node, rewrite)
+        node = _recurse_children(node, rewrite)
+        each_subplan(node, lambda x: setattr(x, "plan", rewrite(x.plan)))
+        return node
     return rewrite(plan)
 
 
