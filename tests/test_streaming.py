@@ -206,3 +206,73 @@ def test_adaptive_probe_ordering():
     assert info["probe_evaluations"] < info["segments"] * nf
     # correctness unchanged
     assert r.rows[0][0] == 50
+
+
+def test_out_of_core_order_by(db_factory=None):
+    """ORDER BY over a table larger than the HBM budget rides the streamed
+    external-sort path (per-segment device runs + host merge) and is
+    row-exact (VERDICT r5 #9; SortMergeRunOperator.hpp:72-129 analog)."""
+    import numpy as np
+    from quickstep_tpu import Database
+    db = Database()
+    n = 200_000
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 1_000_000, n)
+    v = rng.integers(-500, 500, n)
+    db.execute("CREATE TABLE big (k INT NOT NULL, v INT NOT NULL)")
+    rel = db.catalog.default_database.get_relation("big")
+    from quickstep_tpu.storage.column import Column
+    from quickstep_tpu.storage.table import TableData
+    from quickstep_tpu.types import INT
+    rel.set_data(TableData({
+        "k": Column(INT, k.astype(np.int32), None, None),
+        "v": Column(INT, v.astype(np.int32), None, None)}))
+    rel.analyze()
+    # force streaming: table bytes (1.6MB) far exceed budget/2
+    db.config.hbm_budget_bytes = 256 * 1024
+    r = db.execute("SELECT k, v FROM big WHERE v >= 0 ORDER BY k, v")
+    info = db.executor.last_stream_info
+    assert info and info.get("mode") == "stream_sort", info
+    assert info["segments"] > 1
+    m = v >= 0
+    want = sorted(zip(k[m].tolist(), v[m].tolist()))
+    assert len(r.rows) == len(want)
+    assert [tuple(row) for row in r.rows[:1000]] == want[:1000]
+    assert [tuple(row) for row in r.rows[-1000:]] == want[-1000:]
+    # with LIMIT
+    r2 = db.execute("SELECT k, v FROM big ORDER BY v DESC, k LIMIT 7")
+    want2 = sorted(zip(v.tolist(), k.tolist()), key=lambda t: (-t[0], t[1]))[:7]
+    assert [(kk, vv) for kk, vv in ((row[0], row[1]) for row in r2.rows)] == \
+        [(kk, vv) for vv, kk in want2]
+
+
+def test_segment_device_cache_warm():
+    """Second execution of a streamed query re-uses device-cached segments
+    (seg_cache hits > 0, misses unchanged)."""
+    import numpy as np
+    from quickstep_tpu import Database
+    db = Database()
+    n = 100_000
+    rng = np.random.default_rng(6)
+    db.execute("CREATE TABLE big2 (k INT NOT NULL, v INT NOT NULL)")
+    rel = db.catalog.default_database.get_relation("big2")
+    from quickstep_tpu.storage.column import Column
+    from quickstep_tpu.storage.table import TableData
+    from quickstep_tpu.types import INT
+    rel.set_data(TableData({
+        "k": Column(INT, rng.integers(0, 50, n).astype(np.int32), None, None),
+        "v": Column(INT, rng.integers(0, 100, n).astype(np.int32), None,
+                    None)}))
+    rel.analyze()
+    db.config.hbm_budget_bytes = 256 * 1024
+    sql = "SELECT k, sum(v) FROM big2 GROUP BY k ORDER BY k"
+    r1 = db.execute(sql)
+    misses_cold = db.executor._seg_cache_misses
+    assert db.executor.last_stream_info["segments_run"] > 1
+    r2 = db.execute(sql)
+    warm_misses = db.executor._seg_cache_misses - misses_cold
+    # the pinned prefix (half the budget) serves hits every warm run; the
+    # tail beyond the cap still streams
+    assert db.executor._seg_cache_hits > 0
+    assert warm_misses < misses_cold
+    assert [tuple(x) for x in r1.rows] == [tuple(x) for x in r2.rows]
