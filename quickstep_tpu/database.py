@@ -49,7 +49,8 @@ class Database:
             from quickstep_tpu.exec.scheduler import PolicyEnforcer
             self._enforcer = PolicyEnforcer(
                 self._execute_one,
-                max_concurrent_queries=self.config.max_concurrent_queries)
+                max_concurrent_queries=self.config.max_concurrent_queries,
+                executor=self.executor)
         return self._enforcer
 
     def _execute_one(self, stmt):

@@ -58,6 +58,9 @@ class Executor:
         self._seg_cache_bytes = 0
         self._seg_cache_hits = 0
         self._seg_cache_misses = 0
+        # segment-boundary yield hook (PolicyEnforcer interleave): called
+        # between streamed segments so other sessions' queries can run
+        self.segment_yield = None
         # per-compiled-plan trace-time op counts (gather count = the unit of
         # join-path cost on TPU; surfaced by \explain_analyze)
         self._plan_op_stats: Dict[tuple, dict] = {}
@@ -367,6 +370,11 @@ class Executor:
         segments_run = 0
         prober = S.AdaptiveProber(len(sp.scan_filters))
         for seg in range(sp.n_segments):
+            if self.segment_yield is not None:
+                # multi-query interleave point: pending queries from other
+                # sessions run between segments (WorkOrder-granular fairness,
+                # PolicyEnforcerSingleNode.cpp:42-56)
+                self.segment_yield()
             if not S.segment_survives(sp.scan_filters, sp.scan_attr_cols, rel,
                                       seg, sp.seg_rows, sp.n_segments,
                                       prober=prober):

@@ -148,7 +148,8 @@ class PolicyEnforcer:
 
     def __init__(self, execute_fn: Callable[[str], object],
                  max_concurrent_queries: int = 8,
-                 stats: Optional[ExecutionStats] = None):
+                 stats: Optional[ExecutionStats] = None,
+                 executor=None):
         self._execute = execute_fn
         self.max_concurrent = max_concurrent_queries
         self.stats = stats or ExecutionStats()
@@ -158,6 +159,14 @@ class PolicyEnforcer:
         self._last_served: Dict[str, int] = {}   # session -> serve tick
         self._tick = 0
         self._shutdown = False
+        self._in_yield = False
+        if executor is not None:
+            # segment-granular multi-query interleave: the streamed executor
+            # calls back between segments, and pending queries from other
+            # sessions run at those yield points — the WorkOrder-granular
+            # fair round-robin analog (PolicyEnforcerSingleNode.cpp:42-56);
+            # a long streamed query no longer monopolizes the device.
+            executor.segment_yield = self._yield_between_segments
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="qstpu-policy-enforcer")
         self._worker.start()
@@ -215,6 +224,35 @@ class PolicyEnforcer:
             p.finished_at = time.perf_counter()
             self.stats.add_entry("query", (p.finished_at - p.started_at) * 1e3)
             p.done.set()
+
+    def _yield_between_segments(self):
+        """Run ONE pending admitted query at a streamed-plan segment
+        boundary (same worker thread — the executor is single-threaded by
+        design). Re-entrancy is guarded: a streamed query started from a
+        yield point does not itself yield."""
+        if self._in_yield:
+            return
+        with self._cv:
+            p = self._pick()
+            if p is None:
+                return
+            self._admitted.remove(p)
+            self._tick += 1
+            self._last_served[p.session] = self._tick
+            self._cv.notify_all()
+        self._in_yield = True
+        try:
+            p.started_at = time.perf_counter()
+            try:
+                p.result = self._execute(p.sql)
+            except BaseException as e:
+                p.error = e
+            p.finished_at = time.perf_counter()
+            self.stats.add_entry("query",
+                                 (p.finished_at - p.started_at) * 1e3)
+            p.done.set()
+        finally:
+            self._in_yield = False
 
     def shutdown(self):
         with self._cv:

@@ -190,3 +190,54 @@ def test_with_priority_clause_feeds_enforcer():
     db.execute("INSERT INTO t VALUES (42)")
     r = db.execute("SELECT a FROM t WITH PRIORITY = 7")
     assert r.rows == [(42,)]
+
+
+def test_segment_granular_interleave():
+    """A short query from another session completes WHILE a long streamed
+    query is mid-flight (VERDICT r5 #10): the streamed executor yields to
+    the PolicyEnforcer between segments."""
+    import numpy as np
+    import threading
+    import time
+    from quickstep_tpu import Database
+    db = Database()
+    n = 400_000
+    rng = np.random.default_rng(8)
+    db.execute("CREATE TABLE big3 (k INT NOT NULL, v INT NOT NULL)")
+    rel = db.catalog.default_database.get_relation("big3")
+    from quickstep_tpu.storage.column import Column
+    from quickstep_tpu.storage.table import TableData
+    from quickstep_tpu.types import INT
+    rel.set_data(TableData({
+        "k": Column(INT, rng.integers(0, 50, n).astype(np.int32), None, None),
+        "v": Column(INT, rng.integers(0, 100, n).astype(np.int32), None,
+                    None)}))
+    rel.analyze()
+    db.execute("CREATE TABLE small (a INT NOT NULL)")
+    db.execute("INSERT INTO small VALUES (1), (2), (3)")
+    db.config.hbm_budget_bytes = 128 * 1024   # many segments
+    finish_times = {}
+    long_running = threading.Event()
+
+    orig_yield = db.executor.segment_yield
+    def traced_yield():
+        long_running.set()
+        orig_yield()
+    db.executor.segment_yield = traced_yield
+
+    def run_long():
+        db.execute("SELECT k, sum(v) FROM big3 GROUP BY k ORDER BY k",
+                   session="long")
+        finish_times["long"] = time.perf_counter()
+
+    def run_short():
+        long_running.wait(10)   # only submit once the long query is streaming
+        db.execute("SELECT count(*) FROM small", session="short")
+        finish_times["short"] = time.perf_counter()
+
+    t1 = threading.Thread(target=run_long)
+    t2 = threading.Thread(target=run_short)
+    t1.start(); t2.start()
+    t1.join(60); t2.join(60)
+    assert "short" in finish_times and "long" in finish_times
+    assert finish_times["short"] < finish_times["long"], finish_times
