@@ -32,10 +32,6 @@ class Config:
     profile_and_report_workorder_perf: bool = False   # per-operator timing report
     max_concurrent_queries: int = 8     # PolicyEnforcer admission limit
     profile_device_reps: int = 0        # >1: measure pipelined device-only ms
-    # Pallas single-pass dense group-by (Q1-class SUM/AVG/COUNT over DOUBLE).
-    # Off by default this round: flipping it changes every dense-agg plan's
-    # HLO and invalidates the persistent compile cache mid-round.
-    use_pallas_groupby: bool = False
     # --- distributed execution (GSPMD over the device mesh) ---
     distributed: bool = False           # shard base tables over jax.devices()
     replicate_threshold_rows: int = 65536   # tables smaller than this replicate

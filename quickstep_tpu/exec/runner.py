@@ -471,8 +471,7 @@ class PlanRunner:
         # path. The sort path also rides pre-aggregate compaction. Dense
         # stays for the Q1-class tiny domains where masked broadcast
         # reductions beat everything (zero data movement).
-        if domain > G.BROADCAST_DOMAIN_LIMIT and not getattr(
-                self.config, "use_pallas_groupby", False):
+        if domain > G.BROADCAST_DOMAIN_LIMIT:
             return False
         return True
 
@@ -491,8 +490,7 @@ class PlanRunner:
         offsets, sizes, strides, domain = self._dense_layout(key_ranges)
         idx = G.pack_dense_index(key_data, offsets, strides, domain, chunk.alive)
         occupied, results = G.dense_groupby(
-            idx, domain, agg_inputs, chunk.alive,
-            use_pallas=getattr(self.config, "use_pallas_groupby", False))
+            idx, domain, agg_inputs, chunk.alive)
         # reconstruct group keys by unpacking the dense index
         gidx = jnp.arange(domain, dtype=jnp.int64)
         slots = {}

@@ -54,52 +54,19 @@ BROADCAST_DOMAIN_LIMIT = 128
 
 
 def dense_groupby(idx: jnp.ndarray, domain: int, agg_specs: List[AggIn],
-                  alive: jnp.ndarray, use_pallas: bool = False):
+                  alive: jnp.ndarray):
     """Collision-free aggregation: idx from pack_dense_index. Returns
-    (occupied bool[domain], [(data[domain], nn_count[domain])...])."""
-    if use_pallas and _pallas_ok(domain, agg_specs):
-        return _dense_groupby_pallas(idx, domain, agg_specs, alive)
+    (occupied bool[domain], [(data[domain], nn_count[domain])...]).
+
+    A hand-written Pallas variant of this path was evaluated round-5 and
+    removed: the measured calibration ladder (tools/calibrate.py) shows the
+    XLA masked-reduce lowering already runs within 4% of the chip's pure
+    reduce bandwidth, and the Pallas kernels either crashed the remote AOT
+    TPU compiler (scratch-carry grid) or ran 2x slower (partial-output
+    form). XLA does not fall short here."""
     if domain <= BROADCAST_DOMAIN_LIMIT:
         return _dense_groupby_broadcast(idx, domain, agg_specs, alive)
     return _dense_groupby_scatter(idx, domain, agg_specs, alive)
-
-
-def _pallas_ok(domain: int, agg_specs: List[AggIn]) -> bool:
-    """The Pallas single-pass kernel covers the Q1-class shape: small dense
-    domain, SUM/AVG/COUNT over non-nullable DOUBLE inputs (f64 is two-float
-    split; MIN/MAX/nullable/int paths fall back to the XLA lowerings)."""
-    from quickstep_tpu.ops import pallas_groupby as P
-    if domain > P.MAX_DOMAIN:
-        return False
-    for fn, vals, valid in agg_specs:
-        if fn not in ("sum", "avg", "count") or valid is not None:
-            return False
-        if fn in ("sum", "avg") and (
-                vals is None or jnp.asarray(vals).dtype != jnp.float64):
-            return False
-    return True
-
-
-def _dense_groupby_pallas(idx, domain: int, agg_specs: List[AggIn], alive):
-    from quickstep_tpu.ops import pallas_groupby as P
-    interpret = jax.default_backend() == "cpu"
-    vals = [jnp.asarray(v) for fn, v, _ in agg_specs
-            if fn in ("sum", "avg") and v is not None]
-    sums, counts = P.dense_groupby_sums(idx, alive, vals, domain,
-                                        interpret=interpret)
-    results = []
-    vi = 0
-    for fn, v, _ in agg_specs:
-        if fn == "count":
-            results.append((counts, counts))
-        elif fn == "sum":
-            results.append((sums[vi], counts))
-            vi += 1
-        else:  # avg
-            results.append((sums[vi] / jnp.maximum(counts, 1), counts))
-            vi += 1
-    occupied = counts > 0
-    return occupied, results
 
 
 def _dense_groupby_broadcast(idx, domain: int, agg_specs: List[AggIn],

@@ -58,3 +58,27 @@ def test_map_values():
     assert nd.values == ["13", "31"]
     # '13-555' and '13-999' map to same new code
     assert remap[d.code_of("13-555")] == remap[d.code_of("13-999")]
+
+
+def test_like_fast_path_matches_regex_oracle():
+    """The %-only str.find chain must agree with the regex lowering on
+    adversarial values (values containing % and _ themselves, overlapping
+    prefix/suffix, empty pattern)."""
+    import random
+    from quickstep_tpu.storage.dictionary import _like_to_regex
+    random.seed(7)
+    vals = sorted(set("".join(random.choices("ab_c%", k=random.randint(0, 8)))
+                      for _ in range(2000)))
+    d = Dictionary(vals)
+    for p in ["", "%", "a%", "%a", "a%b", "ab", "%ab%", "a%b%c", "%%",
+              "a%%b", "abc%a", "%a%a", "aa%aa", "ab%ba", "c%", "%c%c%c%"]:
+        rx = _like_to_regex(p, None)
+        want = [rx.fullmatch(v) is not None for v in vals]
+        got = list(d.match_like(p))
+        assert want == got, p
+
+
+def test_like_bitmap_memoized():
+    d, _ = Dictionary.build(["x", "xy", "zy"])
+    assert d.match_like("%y") is d.match_like("%y")
+    assert d.match_regex("x.*") is d.match_regex("x.*")
