@@ -35,6 +35,11 @@ import time
 
 
 HBM_PEAK_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
+# Measured achievable ceiling in THIS environment (tools/calibrate.py,
+# 2026-08-21: pure resident jnp.sum = 161.5 GB/s on the tunneled v5e chip —
+# the paper 819 number is not reachable even by a bare reduce here). Roofline
+# fractions are reported against BOTH.
+MEASURED_CEILING_GBPS = float(os.environ.get("BENCH_CEILING_GBPS", "161.5"))
 
 # Cheapest-compile-first measurement order (round-2 compile-time observations:
 # Q3/Q18/Q20/Q21 take 10-20+ min cold on the remote compile service).
@@ -103,6 +108,7 @@ class Reporter:
                            "rows_per_s": round(rows_per_s, 1),
                            "agg_gbps": round(agg, 3),
                            "hbm_peak_gbps": HBM_PEAK_GBPS,
+                           "measured_ceiling_gbps": MEASURED_CEILING_GBPS,
                            "final": final}, f, indent=1)
         except OSError:
             pass
@@ -259,6 +265,7 @@ def main():
                  "scan_mb": round(qbytes / 1e6, 1),
                  "gbps": round(gbps, 2),
                  "roofline_pct": round(100.0 * gbps / HBM_PEAK_GBPS, 2),
+                 "ceiling_pct": round(100.0 * gbps / MEASURED_CEILING_GBPS, 2),
                  "dispatches": getattr(db.executor, "dispatches", None)}
         ops = (db.executor.last_profile or {}).get("op_stats")
         if ops:

@@ -57,7 +57,11 @@ class Config:
     # the filtered size, not the padded capacity. Under-estimates trip an
     # overflow flag and re-run uncompacted (kOutOfSpace retry analog).
     join_compaction: bool = True
-    join_compact_factor: float = 4.0
+    # 2x cushion (was 4x): TPC-H-class estimates ride exact stats, pow2
+    # rounding adds up to another 2x headroom anyway, and the overflow retry
+    # is learned-once per plan — while every halving of the compacted size
+    # halves all downstream join sorts and gathers.
+    join_compact_factor: float = 2.0
     # Presentation ORDER BY: results with at least this many rows sort on
     # device (payload-carrying lax.sort + top-limit slice; only presented rows
     # cross the host link). Smaller results use the host lexsort, which avoids

@@ -28,17 +28,56 @@ from quickstep_tpu.expressions.scalar import EvalContext
 
 
 class RowIds:
-    """Shared gather map: `idx[capacity]` row indices into some base row space
-    plus an optional `ok` mask (rows with ok=False materialize as NULL). All
-    LazyCols produced from one source chunk by one operator share a single
-    RowIds instance, so permuting/composing the map costs one int32 gather for
-    the whole column group."""
+    """Shared gather map: `idx[capacity]` row indices plus an optional `ok`
+    mask (rows with ok=False materialize as NULL). All LazyCols produced from
+    one source chunk by one operator share a single RowIds instance, so
+    permuting/composing the map costs one int32 gather for the whole column
+    group.
 
-    __slots__ = ("idx", "ok")
+    `parent`: lazy composition chain. A chained map means
+    effective_idx[i] = parent.effective_idx[idx[i]] — composition is NOT
+    evaluated when an operator composes maps, only at materialization
+    (resolve), folding from the OUTERMOST map inward so every gather's output
+    size equals the final (usually post-compaction) row count. Eager
+    composition was measured at 273 ms of Q10's 437 ms device time: three
+    row-id gathers at the probe's full 8.4M capacity for a join whose
+    aggregate input compacts to ~256k rows right after."""
 
-    def __init__(self, idx, ok=None):
+    __slots__ = ("idx", "ok", "parent")
+
+    def __init__(self, idx, ok=None, parent: "RowIds" = None):
         self.idx = idx
         self.ok = ok
+        self.parent = parent
+
+    def chain_ok_none(self) -> bool:
+        """True when no level of the chain carries a NULLing mask."""
+        r = self
+        while r is not None:
+            if r.ok is not None:
+                return False
+            r = r.parent
+        return True
+
+    def resolve(self):
+        """Flatten the chain in place: one gather per level, each with output
+        size len(self.idx). Idempotent; shared instances resolve once."""
+        if self.parent is None:
+            return
+        from quickstep_tpu.ops import kernels as K
+        acc, ok = self.idx, self.ok
+        p = self.parent
+        while p is not None:
+            n_p = int(jnp.shape(p.idx)[0])
+            safe = jnp.clip(acc, 0, n_p - 1)
+            if p.ok is not None:
+                g = K.multi_gather([p.idx, p.ok], safe)
+                ok = g[1] if ok is None else (ok & g[1])
+                acc = g[0]
+            else:
+                acc = K.multi_gather([p.idx], safe)[0]
+            p = p.parent
+        self.idx, self.ok, self.parent = acc, ok, None
 
 
 class LazyCol:
@@ -67,10 +106,10 @@ def _full(d, capacity):
 
 def compose_slots(src: "Chunk", take_idx, take_ok) -> Dict[int, LazyCol]:
     """New slots referencing src rows at `take_idx` (with optional validity
-    mask `take_ok`). Existing lazy cols compose their gather maps (one int32
-    gather per distinct RowIds); materialized cols become lazy against a
-    shared fresh RowIds — no payload bytes move here."""
-    from quickstep_tpu.ops import kernels as K
+    mask `take_ok`). Existing lazy cols CHAIN their gather maps (composition
+    deferred to RowIds.resolve at materialization, after any downstream
+    compaction has shrunk the row set); materialized cols become lazy against
+    a shared fresh RowIds — no payload bytes and no row-id bytes move here."""
     base_rid = RowIds(take_idx, take_ok)
     comp: Dict[int, RowIds] = {}
     out: Dict[int, LazyCol] = {}
@@ -78,14 +117,7 @@ def compose_slots(src: "Chunk", take_idx, take_ok) -> Dict[int, LazyCol]:
         if _is_lazy(v):
             r = comp.get(id(v.rid))
             if r is None:
-                safe = jnp.clip(take_idx, 0, src.capacity - 1)
-                cols = [v.rid.idx] + ([v.rid.ok] if v.rid.ok is not None
-                                      else [])
-                g = K.multi_gather(cols, safe)
-                ok2 = take_ok
-                if v.rid.ok is not None:
-                    ok2 = g[1] if ok2 is None else (g[1] & ok2)
-                r = RowIds(g[0], ok2)
+                r = RowIds(take_idx, take_ok, parent=v.rid)
                 comp[id(v.rid)] = r
             out[eid] = LazyCol(v.base, v.base_valid, r)
         else:
@@ -107,9 +139,12 @@ def repeat_slots(src: "Chunk", k: int) -> Dict[int, LazyCol]:
         if _is_lazy(v):
             r = comp.get(id(v.rid))
             if r is None:
+                # repeat only the OUTER level; any parent chain still
+                # resolves later at the final row count
                 r = RowIds(jnp.repeat(v.rid.idx, k),
                            None if v.rid.ok is None
-                           else jnp.repeat(v.rid.ok, k))
+                           else jnp.repeat(v.rid.ok, k),
+                           parent=v.rid.parent)
                 comp[id(v.rid)] = r
             out[eid] = LazyCol(v.base, v.base_valid, r)
         else:
@@ -181,6 +216,7 @@ class Chunk:
         for ids in groups.values():
             first: LazyCol = self.slots[ids[0]]
             rid = first.rid
+            rid.resolve()   # flatten any composition chain (outside-in)
             n_base = int(jnp.shape(first.base)[0])
             safe = jnp.clip(rid.idx, 0, n_base - 1)
             cols = []

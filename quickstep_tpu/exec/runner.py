@@ -378,7 +378,8 @@ class PlanRunner:
                 if src is None:
                     continue
                 if getattr(src, "lazy", False):
-                    nonnull = src.base_valid is None and src.rid.ok is None
+                    nonnull = src.base_valid is None and \
+                        src.rid.chain_ok_none()
                     base = jnp.asarray(src.base)
                 else:
                     nonnull = src[1] is None
@@ -967,9 +968,11 @@ class PlanRunner:
         if node.kind in ("semi", "anti") and node.residual is None and \
                 len(bk_data) == 1 and self.config.use_filter_joins:
             r = self._key_ranges(node.right_keys, build)[0]
-            if r is not None and (r[1] - r[0] + 1) <= min(
-                    self.config.direct_join_domain_limit,
-                    int(self.config.direct_join_density * build.capacity)):
+            if r is not None and (r[1] - r[0] + 1) <= \
+                    self.config.direct_join_domain_limit and \
+                    (r[1] - r[0] + 1) <= max(
+                        int(self.config.direct_join_density * build.capacity),
+                        4 * probe.capacity):
                 from quickstep_tpu.ops import bloom as B
                 lo, domain = r[0], r[1] - r[0] + 1
                 bits = B.exact_filter_build(bk_data[0], bmask, lo, domain)
@@ -1502,9 +1505,17 @@ class PlanRunner:
         use_direct = False
         if len(bk_data) == 1 and ranges[0] is not None:
             domain = ranges[0][1] - ranges[0][0] + 1
+            # density alone is the wrong proxy on TPU: a direct table's cost
+            # is ONE domain-sized memset+scatter, so even a build-sparse
+            # table beats the merge path (multi-pass sorts over the probe)
+            # whenever the domain is small next to the probe. Without the
+            # probe-relative clause, pre-join build compaction (which shrinks
+            # build.capacity) used to flip Q10's orderkey join from direct to
+            # merge and cost +84ms.
             use_direct = (domain <= self.config.direct_join_domain_limit and
-                          domain <= self.config.direct_join_density *
-                          build.capacity)
+                          (domain <= self.config.direct_join_density *
+                           build.capacity or
+                           domain <= 4 * probe.capacity))
         if use_direct:
             lo, hi = ranges[0]
             domain = hi - lo + 1
@@ -1771,7 +1782,12 @@ class PlanRunner:
             int(self.config.join_compact_factor * est) + 1), 1024)
         if chunk.bound is not None:
             target = min(target, K.next_pow2(chunk.bound))
-        if target * 2 >= chunk.capacity:
+        if target >= chunk.capacity:
+            return chunk
+        if target * 2 >= chunk.capacity and chunk.capacity <= (1 << 20):
+            # a bare 2x shrink only pays for itself (one i8 compaction sort
+            # vs halved downstream sorts/gathers) at multi-million-row
+            # capacities; below that the sort dominates
             return chunk
         live = jnp.sum(chunk.alive.astype(jnp.int32))
         self.flags[flag_key] = live > target
