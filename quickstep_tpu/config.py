@@ -57,11 +57,11 @@ class Config:
     # the filtered size, not the padded capacity. Under-estimates trip an
     # overflow flag and re-run uncompacted (kOutOfSpace retry analog).
     join_compaction: bool = True
-    # 2x cushion (was 4x): TPC-H-class estimates ride exact stats, pow2
-    # rounding adds up to another 2x headroom anyway, and the overflow retry
-    # is learned-once per plan — while every halving of the compacted size
-    # halves all downstream join sorts and gathers.
-    join_compact_factor: float = 2.0
+    # 4x cushion: a 2x cushion was tried round-5 and tripped overflow
+    # retries on Q21/Q18-class self-join estimates, costing more than the
+    # halved capacities saved; 4x with the relaxed 2x-shrink rule below
+    # still compacts the borderline cases (Q5's 8.4M->4M).
+    join_compact_factor: float = 4.0
     # Presentation ORDER BY: results with at least this many rows sort on
     # device (payload-carrying lax.sort + top-limit slice; only presented rows
     # cross the host link). Smaller results use the host lexsort, which avoids

@@ -43,12 +43,13 @@ class RowIds:
     row-id gathers at the probe's full 8.4M capacity for a join whose
     aggregate input compacts to ~256k rows right after."""
 
-    __slots__ = ("idx", "ok", "parent")
+    __slots__ = ("idx", "ok", "parent", "depth")
 
     def __init__(self, idx, ok=None, parent: "RowIds" = None):
         self.idx = idx
         self.ok = ok
         self.parent = parent
+        self.depth = 1 + (parent.depth if parent is not None else 0)
 
     def chain_ok_none(self) -> bool:
         """True when no level of the chain carries a NULLing mask."""
@@ -78,6 +79,7 @@ class RowIds:
                 acc = K.multi_gather([p.idx], safe)[0]
             p = p.parent
         self.idx, self.ok, self.parent = acc, ok, None
+        self.depth = 1
 
 
 class LazyCol:
@@ -118,6 +120,12 @@ def compose_slots(src: "Chunk", take_idx, take_ok) -> Dict[int, LazyCol]:
             r = comp.get(id(v.rid))
             if r is None:
                 r = RowIds(take_idx, take_ok, parent=v.rid)
+                # cap pending depth at 2: longer gather chains fused at
+                # SF10-class widths reproducibly SIGSEGV the remote XLA:TPU
+                # compiler (Q18, 67M-row capacity) — resolving here restores
+                # the eager cost for level 3+ only
+                if r.depth > 2:
+                    r.resolve()
                 comp[id(v.rid)] = r
             out[eid] = LazyCol(v.base, v.base_valid, r)
         else:

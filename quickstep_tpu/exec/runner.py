@@ -1004,7 +1004,11 @@ class PlanRunner:
             strategy = "expand"
 
         if node.kind in ("semi", "anti") and strategy == "expand" and \
-                ov is None:
+                (ov is None or ov.strategy is None):
+            # a compaction-overflow override (no_compact_*) must NOT knock
+            # the join off the merge-cmp path: that silently regressed Q21's
+            # correlated <>-EXISTS joins 15x onto expansion when the 2x
+            # compaction cushion tripped its retry
             out = self._semi_stats_join(node, probe, build, pk_data, bk_data,
                                         pmask, bmask)
             if out is not None:
@@ -1108,7 +1112,21 @@ class PlanRunner:
             if est_p else 1.0
         live_b = min(1.0, 4.0 * est_b / max(build.capacity, 1)) \
             if est_b else 1.0
-        bp = factor * max(8, -(-int(2 * Lp * live_p) // n))
+        # skew cushion: hash-partitioned bucket counts concentrate tightly
+        # around the mean except for heavy keys, whose mass is bounded
+        # exactly by the stats' max_counts — so when the heaviest probe key
+        # is known, size buckets as 1.25x mean + one heavy key instead of a
+        # blanket 2x (the overflow-retry remains the backstop)
+        pk_ids = [e.expr_id for e in node.left_keys if isinstance(e, Attr)]
+        mc_p = min((probe.max_counts.get(i) for i in pk_ids
+                    if i in probe.max_counts), default=None) \
+            if len(pk_ids) == len(node.left_keys) and pk_ids else None
+
+        def psize(rows_per_dev):
+            if mc_p is None:
+                return -(-int(2 * rows_per_dev) // n)
+            return -(-int(1.25 * rows_per_dev) // n) + int(mc_p)
+        bp = factor * max(8, psize(Lp * live_p))
         bb = factor * max(8, -(-int(2 * Lb * live_b) * salt // n))
         recv_p, recv_b = n * bp, n * bb
 
@@ -1157,7 +1175,7 @@ class PlanRunner:
             # conservative floor: a wrong estimate costs an overflow-retry
             # recompile, so never shrink below 1/8 of the unfiltered cap
             sel = max(min(sel, 1.0), 0.125)
-        bp_c = factor * max(8, -(-int(2 * Lc * sel * live_p) // n))
+        bp_c = factor * max(8, psize(Lc * sel * live_p))
         recv_p_c = n * bp_c
         # logical ICI exchange volume: every marshaled array crosses the
         # all_to_all once (bucketed, so actual bytes = bucket capacity)
