@@ -95,6 +95,11 @@ class LazyCol:
         self.rid = rid
 
 
+import os as _os
+
+_CHAIN_DEPTH_CAP = int(_os.environ.get("QSTPU_CHAIN_DEPTH", "2"))
+
+
 def _is_lazy(v) -> bool:
     return isinstance(v, LazyCol)
 
@@ -120,11 +125,11 @@ def compose_slots(src: "Chunk", take_idx, take_ok) -> Dict[int, LazyCol]:
             r = comp.get(id(v.rid))
             if r is None:
                 r = RowIds(take_idx, take_ok, parent=v.rid)
-                # cap pending depth at 2: longer gather chains fused at
-                # SF10-class widths reproducibly SIGSEGV the remote XLA:TPU
-                # compiler (Q18, 67M-row capacity) — resolving here restores
-                # the eager cost for level 3+ only
-                if r.depth > 2:
+                # cap pending depth (default 2): longer gather chains fused
+                # at SF10-class widths reproducibly SIGSEGV the remote
+                # XLA:TPU compiler (Q18, 67M-row capacity) — resolving here
+                # restores the eager cost for deeper levels only
+                if r.depth > _CHAIN_DEPTH_CAP:
                     r.resolve()
                 comp[id(v.rid)] = r
             out[eid] = LazyCol(v.base, v.base_valid, r)
