@@ -97,7 +97,21 @@ class LazyCol:
 
 import os as _os
 
+# Pending-chain depth cap. Mutable at trace time (set_chain_depth): the
+# executor's compiler-crash fallback retries a plan with a different cap —
+# the remote AOT compiler's SIGSEGVs are shape-specific (Q18 SF10 needed
+# capped chains; Q2 SF10 needs them uncapped), so the cap is a per-plan
+# retry knob, not a single global truth.
 _CHAIN_DEPTH_CAP = int(_os.environ.get("QSTPU_CHAIN_DEPTH", "2"))
+
+
+def set_chain_depth(cap: int) -> None:
+    global _CHAIN_DEPTH_CAP
+    _CHAIN_DEPTH_CAP = cap
+
+
+def default_chain_depth() -> int:
+    return int(_os.environ.get("QSTPU_CHAIN_DEPTH", "2"))
 
 
 def _is_lazy(v) -> bool:

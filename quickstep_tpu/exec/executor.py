@@ -306,9 +306,57 @@ class Executor:
             for k, v in self._learned_overrides.get(learn_key, {}).items()}
         for _attempt in range(8):
             self.last_attempts = _attempt + 1
-            outs, flags, out_attrs = self._compile_and_run(
-                device_plan, inputs, meta, overrides)
-            retry = self._check_flags(device_plan, flags, overrides)
+            try:
+                outs, flags, out_attrs = self._compile_and_run(
+                    device_plan, inputs, meta, overrides)
+            except jax.errors.JaxRuntimeError as e:
+                # Remote XLA:TPU AOT compiler crash fallback: certain
+                # SF10-width uncompacted plan shapes reproducibly SIGSEGV
+                # the tpu_compile_helper in this environment; a tighter
+                # compaction cushion (2x) changes the fused shapes and is
+                # known to compile. Install a PLAN-WIDE cushion override
+                # (learned, so warm re-runs of this plan go straight to the
+                # working shape; other plans keep their warmed programs).
+                msg = str(e)
+                prev = overrides.get(-1) or JoinOverride()
+                if "remote_compile" not in msg and "SIGSEGV" not in msg:
+                    raise
+                if prev.compact_factor is None:
+                    prev.compact_factor = 2.0        # rung 1
+                elif prev.chain_depth is None:
+                    prev.chain_depth = 99            # rung 2: uncapped chains
+                else:
+                    raise
+                overrides[-1] = prev
+                retry = True
+            else:
+                retry = self._check_flags(device_plan, flags, overrides)
+            if not retry:
+                # Materialization may compile the full-output overflow twin
+                # (full_thunk) — also subject to the AOT compiler's
+                # shape-specific crashes, so it lives INSIDE the fallback
+                # loop: a crash here ladders the plan-wide override and
+                # re-runs the whole plan (observed: Q2 SF10's twin).
+                try:
+                    if host_sort is None:
+                        result = self._materialize(outs, out_attrs)
+                    else:
+                        result = self._materialize_sorted(
+                            outs, out_attrs, host_sort, final_attrs,
+                            trim_ids)
+                except jax.errors.JaxRuntimeError as e:
+                    msg = str(e)
+                    prev = overrides.get(-1) or JoinOverride()
+                    if "remote_compile" not in msg and "SIGSEGV" not in msg:
+                        raise
+                    if prev.compact_factor is None:
+                        prev.compact_factor = 2.0
+                    elif prev.chain_depth is None:
+                        prev.chain_depth = 99
+                    else:
+                        raise
+                    overrides[-1] = prev
+                    retry = True
             if not retry:
                 break
             while len(self._learned_overrides) >= self._plan_cache_limit:
@@ -320,10 +368,7 @@ class Executor:
         else:
             raise ExecutionError("join fallback did not converge")
 
-        if host_sort is None:
-            return self._materialize(outs, out_attrs)
-        return self._materialize_sorted(outs, out_attrs, host_sort,
-                                        final_attrs, trim_ids)
+        return result
 
     def _hoist_scalar_subqueries(self, plan) -> Dict[str, tuple]:
         """Execute every uncorrelated scalar subquery under `plan` as its own
@@ -588,6 +633,14 @@ class Executor:
         return min(capacity, want)
 
     def _compile_and_run(self, plan, inputs, meta, overrides):
+        # plan-wide chain-depth override (compiler-crash fallback rung 2):
+        # applied at trace time; the fingerprint below includes overrides,
+        # so each cap traces/caches its own program
+        from quickstep_tpu.exec import chunk as CH
+        ovg = overrides.get(-1)
+        CH.set_chain_depth(ovg.chain_depth if ovg is not None and
+                           ovg.chain_depth is not None
+                           else CH.default_chain_depth())
         # Row-packed gathers allocate a lane-padded transient (n x 128 x 4B);
         # under an explicit HBM budget, keep that transient to a fraction of
         # the budget so streamed plans retain their working-set headroom.

@@ -80,6 +80,12 @@ class JoinOverride:
     shuffle_factor: int = 1           # bucket-capacity escalation on shuffle overflow
     no_compact_probe: bool = False    # estimate-driven pre-join compaction
     no_compact_build: bool = False    # overflowed: run at full capacity
+    # plan-wide (id -1): installed by the executor's remote-compiler-crash
+    # fallback ladder (shape-specific AOT helper SIGSEGVs): first a tighter
+    # compaction cushion, then an uncapped lazy-gather chain depth — each
+    # changes the fused shapes enough to compile the observed crashers.
+    compact_factor: Optional[float] = None
+    chain_depth: Optional[int] = None
 
 
 class PlanRunner:
@@ -1796,8 +1802,10 @@ class PlanRunner:
             return chunk
         if chunk.capacity <= 4096:
             return chunk
-        target = max(K.next_pow2(
-            int(self.config.join_compact_factor * est) + 1), 1024)
+        ovg = self.overrides.get(-1)
+        factor = ovg.compact_factor if ovg is not None and \
+            ovg.compact_factor is not None else self.config.join_compact_factor
+        target = max(K.next_pow2(int(factor * est) + 1), 1024)
         if chunk.bound is not None:
             target = min(target, K.next_pow2(chunk.bound))
         if target >= chunk.capacity:
